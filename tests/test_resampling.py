@@ -1,0 +1,72 @@
+"""Resampler properties: unbiasedness (E[offspring] = n·w) and variance
+ordering (systematic ≤ stratified ≤ multinomial) — the rebuild's
+formalization of reference particles.jl:17-19 (SURVEY.md §4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequential_monte_carlo_tpu.ops import get_resampler, resample
+
+N = 64
+TRIALS = 2000
+
+
+@pytest.fixture
+def weights():
+    rng = np.random.default_rng(0)
+    w = rng.gamma(1.0, size=N)
+    return jnp.asarray(w / w.sum())
+
+
+def _offspring_counts(scheme, weights, trials=TRIALS):
+    fn = get_resampler(scheme)
+    keys = jax.random.split(jax.random.key(42), trials)
+    anc = jax.vmap(lambda k: fn(k, weights))(keys)
+    counts = jax.vmap(lambda a: jnp.bincount(a, length=N))(anc)
+    return np.asarray(counts)
+
+
+@pytest.mark.parametrize("scheme", ["multinomial", "systematic", "stratified", "residual"])
+def test_unbiased(scheme, weights):
+    counts = _offspring_counts(scheme, weights)
+    expected = N * np.asarray(weights)
+    got = counts.mean(0)
+    se = counts.std(0).max() / np.sqrt(TRIALS)
+    np.testing.assert_allclose(got, expected, atol=max(6 * se, 0.15))
+
+
+@pytest.mark.parametrize("scheme", ["multinomial", "systematic", "stratified"])
+def test_valid_indices(scheme, weights):
+    a = get_resampler(scheme)(jax.random.key(0), weights)
+    assert a.shape == (N,)
+    assert a.dtype == jnp.int32
+    assert int(a.min()) >= 0 and int(a.max()) < N
+
+
+def test_variance_ordering(weights):
+    v = {
+        s: _offspring_counts(s, weights).var(0).sum()
+        for s in ["multinomial", "stratified", "systematic"]
+    }
+    assert v["systematic"] <= v["stratified"] * 1.1
+    assert v["stratified"] <= v["multinomial"] * 1.1
+
+
+def test_systematic_preserves_floor(weights):
+    """Systematic guarantees ≥ floor(n·w_i) offspring per particle."""
+    counts = _offspring_counts("systematic", weights, trials=50)
+    floors = np.floor(N * np.asarray(weights))
+    assert (counts >= floors[None, :]).all()
+
+
+def test_degenerate_weight_vector():
+    w = jnp.zeros(N).at[7].set(1.0)
+    for scheme in ["multinomial", "systematic", "stratified"]:
+        a = get_resampler(scheme)(jax.random.key(1), w)
+        assert (np.asarray(a) == 7).all()
+
+
+def test_resample_n_override(weights):
+    a = resample(jax.random.key(0), weights, n=2 * N, scheme="systematic")
+    assert a.shape == (2 * N,)
