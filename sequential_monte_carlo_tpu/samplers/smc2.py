@@ -1,0 +1,348 @@
+"""SMC² — online joint state+parameter inference (L3).
+
+≡ Chopin's SMC² as implemented in /root/reference/src/smc_samplers.jl:
+``smc²`` init (:288-301), ``smc²!`` step (:308-340), multinomial θ-resampling
+with cloud co-reindexing (``resample!``, :74-84), PMMH rejuvenation with
+annealed adaptive-RW proposals (``rejuvenate!``, :103-148) and the Chopin-2013
+exchange/N-doubling step (``exchange!``, :163-189).
+
+TPU-native architecture (SURVEY.md §3.3-3.4, §7.5):
+  * The M per-θ inner particle filters are ONE (M, N) tensor program:
+    ``vmap`` over the stacked model pytree turns the reference's
+    ``Threads.@threads for m in 1:M`` into a single fused XLA kernel.
+  * PMMH rejuvenation — the dominant cost ★ in SURVEY.md §3.3 — re-runs the
+    full-history filter for all M proposals at once per MCMC step: a
+    ``lax.scan`` over ``chain`` of one batched (M, N, T) masked filter.
+  * Data-dependent triggers (θ-ESS degeneracy) run under ``lax.cond`` so the
+    whole online step stays inside one compiled program; rejuvenation over
+    the growing prefix y[1:t-1] uses the full padded series + time mask.
+  * Divergent per-θ accept/reject is batched compute + ``where`` selects.
+  * The exchange step changes N (a static shape): it runs between jitted
+    steps, host-driven, with a geometric recompile schedule bounded by the
+    reference's 4096→8192 cap (SURVEY.md §7 hard part (b)).
+
+Every acceptance test, guard (``log_post_prop > -Inf``), covariance floor and
+annealing schedule follows the reference's semantics exactly; RNG is
+key-split per (step, chain, θ) so runs are bitwise reproducible.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.particle_filter import (
+    ParticleState,
+    log_likelihood_masked,
+    pf_init,
+    pf_step,
+)
+from ..ops.resampling import get_resampler
+from ..ops.weights import ess_from_log_weights
+from ..utils.struct import replace
+from .base import SMC2State, SMCConfig, StepInfo
+from .kernels import anneal_scales, kernel_chol, propose, rw_kernel_cov
+
+
+def expected_parameters(state) -> jax.Array:
+    """ω-weighted posterior mean of θ ≡ smc_samplers.jl:61-65."""
+    w = jax.nn.softmax(state.log_omega)
+    return w @ state.theta
+
+
+class SMC2:
+    """Online SMC² sampler.
+
+    Parameters
+    ----------
+    model_fn : θ (dθ,) → StateSpaceModel — the reference's model constructor
+        (``smc.model``, smc_samplers.jl:22).
+    prior : Distribution over θ with sample/log_prob/in_support.
+    config : SMCConfig.
+
+    Usage mirrors the reference README (README.md:95-104)::
+
+        sampler = SMC2(lg_model, prior, SMCConfig(1024, 512, 3, 0.5))
+        state = sampler.init(key, y)          # ≡ smc²(smc, y)
+        for t in range(1, len(y)):
+            state, info = sampler.step(state, y)   # ≡ smc²!(smc, y, t)
+            state = sampler.maybe_exchange(state, y, info)  # ≡ exchange!
+    """
+
+    def __init__(self, model_fn: Callable, prior, config: SMCConfig = SMCConfig()):
+        self.model_fn = model_fn
+        self.prior = prior
+        self.config = config
+        self._init_jit = jax.jit(self._init_impl)
+        self._step_jit = jax.jit(self._step_impl)
+        self._refilter_jit = jax.jit(self._refilter_impl)
+        self._run_jit = jax.jit(self._run_impl)
+        self._resample_move_jit = jax.jit(self._resample_move_impl)
+        self._run_collect_cache = {}
+
+    # -- init ---------------------------------------------------------------
+
+    def _init_impl(self, key, y):
+        cfg = self.config
+        k_theta, k_pf, k_state = jax.random.split(key, 3)
+        theta = self.prior.sample(k_theta, (cfg.n_theta,))
+        models = jax.vmap(self.model_fn)(theta)
+        keys = jax.random.split(k_pf, cfg.n_theta)
+        outs = jax.vmap(
+            lambda k, m: pf_init(k, m, cfg.n_particles, y[0])
+        )(keys, models)
+        # ≡ smc²(smc,y): ω ← logμ₀, logZ ← ω (the reference's aliasing at
+        # :297 made explicit), then reweight for the ESS
+        log_omega = outs.log_mean
+        ess = ess_from_log_weights(log_omega)
+        return SMC2State(
+            theta=theta,
+            log_omega=log_omega,
+            particles=outs.state.particles,
+            log_w=outs.state.log_weights,
+            log_z=outs.log_mean,
+            ess=ess,
+            acc_ratio=jnp.asarray(0.0),
+            key=k_state,
+            t=jnp.asarray(1, dtype=jnp.int32),
+        )
+
+    def init(self, key, y) -> SMC2State:
+        """≡ ``smc²(smc, y)`` — assimilate y[0] for every θ."""
+        return self._init_jit(key, jnp.asarray(y))
+
+    # -- θ-resample ---------------------------------------------------------
+
+    def _resample_theta(self, state: SMC2State, key) -> SMC2State:
+        """Multinomial resample of θ-particles, co-reindexing the state
+        clouds and running logZ ≡ resample! (smc_samplers.jl:74-84)."""
+        cfg = self.config
+        w = jax.nn.softmax(state.log_omega)
+        a = get_resampler(cfg.theta_resampling)(key, w)
+        return replace(
+            state,
+            theta=state.theta[a],
+            particles=state.particles[a],
+            log_w=state.log_w[a],
+            log_z=state.log_z[a],
+            log_omega=jnp.zeros_like(state.log_omega),
+        )
+
+    # -- PMMH rejuvenation --------------------------------------------------
+
+    def _rejuvenate(self, state: SMC2State, key, y, mask, xi) -> SMC2State:
+        """Batched PMMH move ≡ rejuvenate! (smc_samplers.jl:103-148).
+
+        ``chain`` MH steps with annealed proposal scales; each step re-runs a
+        full inner PF over the masked history for ALL M proposals at once
+        (the reference's M·chain serial PF calls → chain batched (M,N,T)
+        programs)."""
+        cfg = self.config
+        n = state.particles.shape[1]
+        sigma = rw_kernel_cov(state.theta, cfg)
+        chol = kernel_chol(sigma)
+        scales = anneal_scales(cfg)
+
+        def masked_ll(k, m):
+            return log_likelihood_masked(k, m, n, y, mask, cfg.inner)
+
+        def chain_step(carry, inp):
+            theta, particles, log_w, log_z, accepted = carry
+            k, scale = inp
+            k_prop, k_pf, k_acc = jax.random.split(k, 3)
+
+            theta_prop = propose(k_prop, theta, chol, scale)
+            ok = self.prior.in_support(theta_prop)
+            # evaluate the filter at a safe θ where the proposal left the
+            # support (result discarded by the accept select)
+            theta_safe = jnp.where(ok[:, None], theta_prop, theta)
+            models = jax.vmap(self.model_fn)(theta_safe)
+            keys_pf = jax.random.split(k_pf, cfg.n_theta)
+            pf_state, logz_prop = jax.vmap(masked_ll)(keys_pf, models)
+
+            lp_prop = self.prior.log_prob(theta_prop)
+            lp_curr = self.prior.log_prob(theta)
+            log_ratio = xi * (logz_prop - log_z) + (lp_prop - lp_curr)
+            # degeneracy guard ≡ log_post_prop > -Inf (smc_samplers.jl:129)
+            guard = (logz_prop + lp_prop) > -jnp.inf
+            log_u = jnp.log(jax.random.uniform(k_acc, (cfg.n_theta,)))
+            accept = ok & guard & (log_u < log_ratio)
+
+            theta = jnp.where(accept[:, None], theta_prop, theta)
+            particles = jnp.where(
+                accept[:, None, None], pf_state.particles, particles
+            )
+            log_w = jnp.where(accept[:, None], pf_state.log_weights, log_w)
+            log_z = jnp.where(accept, logz_prop, log_z)
+            accepted = accepted | accept
+            return (theta, particles, log_w, log_z, accepted), None
+
+        keys = jax.random.split(key, cfg.chain)
+        init = (
+            state.theta,
+            state.particles,
+            state.log_w,
+            state.log_z,
+            jnp.zeros(cfg.n_theta, dtype=bool),
+        )
+        (theta, particles, log_w, log_z, accepted), _ = jax.lax.scan(
+            chain_step, init, (keys, scales)
+        )
+        return replace(
+            state,
+            theta=theta,
+            particles=particles,
+            log_w=log_w,
+            log_z=log_z,
+            # ω ← 1 after the move (smc_samplers.jl:139)
+            log_omega=jnp.zeros_like(state.log_omega),
+            ess=jnp.asarray(float(cfg.n_theta)),
+            acc_ratio=jnp.mean(accepted.astype(state.theta.dtype)),
+        )
+
+    def _resample_move_impl(self, state: SMC2State, y, mask, xi) -> SMC2State:
+        """θ-resample followed by tempered rejuvenation — the shared
+        resample-move core used by both SMC² and density-tempered SMC
+        (SURVEY.md §7.5)."""
+        key, k_resample, k_rejuv = jax.random.split(state.key, 3)
+        st = self._resample_theta(replace(state, key=key), k_resample)
+        return self._rejuvenate(st, k_rejuv, y, mask, xi)
+
+    # -- online step --------------------------------------------------------
+
+    def _step_impl(self, state: SMC2State, y):
+        cfg = self.config
+        T = y.shape[0]
+        key, k_resample, k_rejuv, k_prop = jax.random.split(state.key, 4)
+        state = replace(state, key=key)
+
+        degenerate = state.ess < cfg.ess_min
+
+        def do_rejuv(state):
+            # resample θ + rejuvenate over the consumed history y[0:t]
+            st = self._resample_theta(state, k_resample)
+            mask = (jnp.arange(T) < state.t).astype(y.dtype)
+            return self._rejuvenate(st, k_rejuv, y, mask, jnp.asarray(1.0))
+
+        state = jax.lax.cond(degenerate, do_rejuv, lambda s: s, state)
+
+        # propagate every θ's cloud through y[t] ≡ smc_samplers.jl:324-335
+        yt = jax.lax.dynamic_index_in_dim(y, state.t, keepdims=False)
+        models = jax.vmap(self.model_fn)(state.theta)
+        keys = jax.random.split(k_prop, cfg.n_theta)
+        pf_states = ParticleState(state.particles, state.log_w)
+        outs = jax.vmap(
+            lambda k, m, s: pf_step(k, m, s, yt, cfg.inner)
+        )(keys, models, pf_states)
+
+        prev_lse = jax.scipy.special.logsumexp(state.log_omega)
+        log_omega = state.log_omega + outs.log_mean
+        log_z = state.log_z + outs.log_mean
+        ess = ess_from_log_weights(log_omega)
+        evidence_incr = jax.scipy.special.logsumexp(log_omega) - prev_lse
+
+        state = replace(
+            state,
+            log_omega=log_omega,
+            particles=outs.state.particles,
+            log_w=outs.state.log_weights,
+            log_z=log_z,
+            ess=ess,
+            t=state.t + 1,
+        )
+        info = StepInfo(
+            ess=ess,
+            rejuvenated=degenerate,
+            acc_ratio=state.acc_ratio,
+            log_evidence_incr=evidence_incr,
+        )
+        return state, info
+
+    def step(self, state: SMC2State, y):
+        """≡ ``smc²!(smc, y, t)`` — one online assimilation step. The time
+        index lives in ``state.t``; pass the full series every call."""
+        return self._step_jit(state, jnp.asarray(y))
+
+    # -- exchange (N-doubling) ---------------------------------------------
+
+    def _refilter_impl(self, state: SMC2State, y, new_particles_shape=None):
+        """Re-run fresh inner PFs for all θ over the consumed history at the
+        CURRENT particle shape of ``state`` (used after doubling N)."""
+        cfg = self.config
+        T = y.shape[0]
+        n = state.particles.shape[1]
+        key, k_pf = jax.random.split(state.key)
+        mask = (jnp.arange(T) < state.t).astype(y.dtype)
+        models = jax.vmap(self.model_fn)(state.theta)
+        keys = jax.random.split(k_pf, cfg.n_theta)
+        pf_state, new_logz = jax.vmap(
+            lambda k, m: log_likelihood_masked(k, m, n, y, mask, cfg.inner)
+        )(keys, models)
+        # importance-correct θ-weights by the likelihood ratio
+        # ≡ reweight(new_logZ − logZ) (smc_samplers.jl:185-186)
+        log_omega = new_logz - state.log_z
+        ess = ess_from_log_weights(log_omega)
+        return replace(
+            state,
+            particles=pf_state.particles,
+            log_w=pf_state.log_weights,
+            log_z=new_logz,
+            log_omega=log_omega,
+            ess=ess,
+            key=key,
+        )
+
+    def maybe_exchange(self, state: SMC2State, y, info: StepInfo) -> SMC2State:
+        """≡ ``exchange!`` (smc_samplers.jl:163-189): if the last
+        rejuvenation's acceptance rate fell below ``acc_threshold``, double N
+        (while N ≤ exchange_max_n), re-filter the full history for every θ,
+        and importance-reweight. Host-driven because N is a static shape:
+        doubling recompiles, bounded to ≤ log2(max/start) recompiles."""
+        cfg = self.config
+        if cfg.acc_threshold <= 0.0:
+            return state
+        if not bool(info.rejuvenated):
+            return state
+        if float(state.acc_ratio) >= cfg.acc_threshold:
+            return state
+        n = state.particles.shape[1]
+        if n > cfg.exchange_max_n:
+            return state  # [cannot exceed max state particles] (:187)
+        doubled = replace(
+            state,
+            particles=jnp.concatenate([state.particles] * 2, axis=1),
+            log_w=jnp.concatenate([state.log_w] * 2, axis=1),
+        )
+        return self._refilter_jit(doubled, jnp.asarray(y))
+
+    # -- fused full-sequence run -------------------------------------------
+
+    def _run_impl(self, key, y, collect_fn=None):
+        state = self._init_impl(key, y)
+
+        def scan_step(st, _):
+            st, info = self._step_impl(st, y)
+            out = (info, collect_fn(st)) if collect_fn else info
+            return st, out
+
+        state, infos = jax.lax.scan(
+            scan_step, state, None, length=y.shape[0] - 1
+        )
+        return state, infos
+
+    def run(self, key, y, collect_fn: Optional[Callable] = None):
+        """Whole-sequence online run as ONE compiled ``lax.scan`` over T
+        (no exchange step — fixed N). ``collect_fn(state)`` gathers per-step
+        summaries (e.g. weighted trend quantiles, the inflation-example
+        pattern at examples/inflation_example.jl:67-74)."""
+        if collect_fn is None:
+            run = self._run_jit
+        else:
+            run = self._run_collect_cache.get(collect_fn)
+            if run is None:
+                run = jax.jit(partial(self._run_impl, collect_fn=collect_fn))
+                self._run_collect_cache[collect_fn] = run
+        return run(key, jnp.asarray(y))

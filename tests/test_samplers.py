@@ -1,0 +1,183 @@
+"""L3 samplers: SMC², density-tempered SMC, IBIS — validated against an
+exact-posterior oracle (Kalman-likelihood importance sampling from the
+prior), the rebuild's formalization of the reference's golden run
+(smc_samplers.jl:197-220; SURVEY.md §4).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sequential_monte_carlo_tpu as smc
+
+
+def _prior():
+    # ≡ README.md:81-85 prior
+    return smc.product_distribution(
+        [
+            smc.TruncatedNormal(
+                jnp.asarray(0.0), jnp.asarray(1.0), jnp.asarray(-1.0), jnp.asarray(1.0)
+            ),
+            smc.LogNormal(jnp.asarray(0.0), jnp.asarray(1.0)),
+            smc.LogNormal(jnp.asarray(0.0), jnp.asarray(1.0)),
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def lg_setup():
+    prior = _prior()
+    m_true = smc.lg_model(jnp.array([0.5, 0.9, 0.8]))
+    _, y = smc.simulate(jax.random.key(1998), m_true, 100)
+    return prior, y
+
+
+@pytest.fixture(scope="module")
+def oracle_mean(lg_setup):
+    """Exact posterior mean via prior-IS with exact Kalman likelihoods."""
+    prior, y = lg_setup
+    theta = prior.sample(jax.random.key(77), (100_000,))
+    models = jax.vmap(smc.lg_model)(theta)
+    logz = jax.vmap(lambda m: smc.kalman_log_likelihood(m, y)[1])(models)
+    w = jax.nn.softmax(logz)
+    return np.asarray(w @ theta)
+
+
+CFG = smc.SMCConfig(n_particles=256, n_theta=192, chain=3, ess_threshold=0.5)
+
+
+def test_smc2_init(lg_setup):
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    state = sampler.init(jax.random.key(0), y)
+    assert state.theta.shape == (192, 3)
+    assert state.particles.shape == (192, 256, 1)
+    assert state.log_w.shape == (192, 256)
+    assert np.isfinite(float(state.ess))
+    assert int(state.t) == 1
+    # per-θ particle weights normalized
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(state.log_w).sum(-1)), np.ones(192), rtol=1e-3
+    )
+
+
+def test_smc2_posterior_matches_oracle(lg_setup, oracle_mean):
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    state, infos = sampler.run(jax.random.key(3), y)
+    got = np.asarray(smc.expected_parameters(state))
+    assert np.all(np.abs(got - oracle_mean) < 0.3), (got, oracle_mean)
+    # θ-ESS telemetry well-formed
+    assert infos.ess.shape == (99,)
+    assert np.isfinite(np.asarray(infos.ess)).all()
+    assert bool(np.asarray(infos.rejuvenated).any())  # degeneracy fired
+
+
+def test_smc2_stepwise_equals_fused_run(lg_setup):
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    s1 = sampler.init(jax.random.key(5), y)
+    for _ in range(1, y.shape[0]):
+        s1, _ = sampler.step(s1, y)
+    s2, _ = sampler.run(jax.random.key(5), y)
+    np.testing.assert_allclose(
+        np.asarray(s1.theta), np.asarray(s2.theta), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.log_omega), np.asarray(s2.log_omega), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_smc2_reproducible(lg_setup):
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    a, _ = sampler.run(jax.random.key(9), y)
+    b, _ = sampler.run(jax.random.key(9), y)
+    assert np.array_equal(np.asarray(a.theta), np.asarray(b.theta))
+
+
+def test_density_tempered_posterior_and_schedule(lg_setup, oracle_mean):
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    state, trace = smc.density_tempered(sampler, jax.random.key(4), y)
+    got = np.asarray(smc.expected_parameters(state))
+    assert np.all(np.abs(got - oracle_mean) < 0.3), (got, oracle_mean)
+    # ξ strictly increases to exactly 1 (smc_samplers.jl:235-266)
+    xis = [s.xi for s in trace]
+    assert all(b > a for a, b in zip(xis, xis[1:] )) or len(xis) == 1
+    assert xis[-1] == 1.0
+    # intermediate stages pin ESS at ess_min (bisection target, :250-256)
+    for s in trace[:-1]:
+        assert abs(s.ess - CFG.ess_min) < 1.5
+
+
+def test_ibis_posterior_matches_oracle(lg_setup, oracle_mean):
+    prior, y = lg_setup
+    ibis = smc.IBIS(smc.lg_model, prior, smc.SMCConfig(n_theta=256, chain=3))
+    state, infos = ibis.run(jax.random.key(6), y)
+    got = np.asarray(smc.expected_parameters(state))
+    assert np.all(np.abs(got - oracle_mean) < 0.3), (got, oracle_mean)
+
+
+def test_ibis_smc2_agree(lg_setup):
+    """SMC²-vs-IBIS θ-posterior agreement on LG (SURVEY.md §4 plan)."""
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    ibis = smc.IBIS(smc.lg_model, prior, smc.SMCConfig(n_theta=192, chain=3))
+    s_pf, _ = sampler.run(jax.random.key(8), y)
+    s_kf, _ = ibis.run(jax.random.key(8), y)
+    a = np.asarray(smc.expected_parameters(s_pf))
+    b = np.asarray(smc.expected_parameters(s_kf))
+    assert np.all(np.abs(a - b) < 0.35), (a, b)
+
+
+def test_rejuvenation_resets_weights_and_reports_acceptance(lg_setup):
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    state = sampler.init(jax.random.key(10), y)
+    rejuvenated = False
+    for _ in range(1, 40):
+        state, info = sampler.step(state, y)
+        if bool(info.rejuvenated):
+            rejuvenated = True
+            assert 0.0 <= float(info.acc_ratio) <= 1.0
+    assert rejuvenated
+
+
+def test_exchange_doubles_n(lg_setup):
+    """exchange! ≡ smc_samplers.jl:163-189: acc below threshold → N doubles."""
+    prior, y = lg_setup
+    cfg = smc.SMCConfig(
+        n_particles=64, n_theta=64, chain=2, ess_threshold=0.5,
+        acc_threshold=1.1,  # always trigger after a rejuvenation
+        exchange_max_n=128,
+    )
+    sampler = smc.SMC2(smc.lg_model, prior, cfg)
+    state = sampler.init(jax.random.key(11), y)
+    sizes = {64}
+    for _ in range(1, 30):
+        state, info = sampler.step(state, y)
+        state = sampler.maybe_exchange(state, y, info)
+        sizes.add(state.particles.shape[1])
+    assert 128 in sizes  # doubled at least once
+    assert max(sizes) <= 256  # respects the cap (≤128 before doubling)
+
+
+def test_evidence_accumulation(lg_setup):
+    """Σ log-evidence increments ≈ log marginal likelihood ∫ p(y|θ)p(θ)dθ."""
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    state, infos = sampler.run(jax.random.key(12), y)
+    # oracle: log mean of exp(kalman logZ) over prior draws
+    theta = prior.sample(jax.random.key(13), (50_000,))
+    models = jax.vmap(smc.lg_model)(theta)
+    logz = jax.vmap(lambda m: smc.kalman_log_likelihood(m, y)[1])(models)
+    log_ml = float(
+        jax.scipy.special.logsumexp(logz) - jnp.log(logz.shape[0])
+    )
+    init_evidence = float(
+        jax.scipy.special.logsumexp(sampler.init(jax.random.key(12), y).log_omega)
+        - jnp.log(CFG.n_theta)
+    )
+    total = init_evidence + float(np.asarray(infos.log_evidence_incr).sum())
+    assert abs(total - log_ml) < 2.0, (total, log_ml)
