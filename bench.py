@@ -1,0 +1,90 @@
+"""Headline benchmark: online SMC² on the UC-SV model, 512 θ × 1024 state
+particles, T=241 (the reference's flagship workload,
+examples/inflation_example.jl:255-267; BASELINE.md north-star config 5).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the speedup over the reference-faithful CPU baseline
+measured with benchmarks/baseline_numpy.py on this machine (2026-08-17,
+per-θ NumPy loop ≡ the Julia reference's structure, full T=241 run, no
+extrapolation): 435.1 s wall-clock (3.69M particle-steps/s).
+
+Usage: python bench.py [--m 512] [--n 1024] [--t 241]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_CPU_WALLCLOCK_S = 435.1  # benchmarks/baseline_numpy.py, see above
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--m", type=int, default=512)
+    p.add_argument("--n", type=int, default=1024)
+    p.add_argument("--t", type=int, default=241)
+    p.add_argument("--chain", type=int, default=5)
+    p.add_argument("--repeats", type=int, default=2)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import sequential_monte_carlo_tpu as smc
+
+    # same synthetic inflation-like series as the CPU baseline
+    rng = np.random.default_rng(1998)
+    y = jnp.asarray(
+        3.0 + np.cumsum(rng.normal(0, 0.3, args.t)) + rng.normal(0, 0.5, args.t),
+        dtype=jnp.float32,
+    )
+
+    prior = smc.product_distribution(
+        [
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(1.0)),
+            smc.Normal(jnp.asarray(3.0), jnp.asarray(2.0)),
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(2.0)),
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(2.0)),
+        ]
+    )
+    cfg = smc.SMCConfig(
+        n_particles=args.n,
+        n_theta=args.m,
+        chain=args.chain,
+        ess_threshold=0.5,
+    )
+    sampler = smc.SMC2(smc.ucsv_model, prior, cfg)
+
+    # compile warm-up (separate key so the timed run is a fresh execution)
+    state, infos = sampler.run(jax.random.key(99), y)
+    jax.block_until_ready(state)
+
+    best = float("inf")
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        state, infos = sampler.run(jax.random.key(r), y)
+        jax.block_until_ready(state)
+        best = min(best, time.perf_counter() - t0)
+
+    if not bool(jnp.isfinite(state.ess)):
+        print(json.dumps({"metric": "smc2_ucsv_wallclock", "value": -1,
+                          "unit": "s", "vs_baseline": 0.0,
+                          "error": "non-finite ESS"}))
+        sys.exit(1)
+
+    result = {
+        "metric": f"smc2_ucsv_{args.m}x{args.n}_T{args.t}_wallclock",
+        "value": round(best, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_CPU_WALLCLOCK_S / best, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Matplotlib plotting (L4) — the PGFPlotsX figures of the reference
+(/root/reference/src/plotting_utils.jl) re-rendered with matplotlib:
+grouped θ-posterior histograms (plotting_utils.jl:5-54), filtered-state
+band plots (:57-92, examples/inflation_example.jl:100-145), and the
+quantile-fan state-trajectory plot with a YlGnBu palette (:161-219).
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+from matplotlib import cm  # noqa: E402
+
+
+def plot_histograms(histograms, var_names=None, path=None):
+    """Grouped 2-wide histogram panel ≡ plot_histograms (plotting_utils.jl:39-54).
+
+    ``histograms`` is the output of :func:`..analysis.posterior_histograms`.
+    """
+    k = len(histograms)
+    rows = math.ceil(k / 2)
+    fig, axes = plt.subplots(rows, 2, figsize=(8, 2.5 * rows), squeeze=False)
+    for i, (counts, edges) in enumerate(histograms):
+        ax = axes[i // 2][i % 2]
+        ax.stairs(counts, edges, fill=True, alpha=0.7)
+        ax.set_yticks([])
+        if var_names is not None:
+            ax.set_title(var_names[i])
+    for j in range(k, rows * 2):
+        axes[j // 2][j % 2].axis("off")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+    return fig
+
+
+def plot_filtered_band(y, lower, median, upper, label="filtered trend", path=None,
+                       dates=None, title=None):
+    """Observed data + filtered quantile band ≡ the inflation example's
+    trend plots (examples/inflation_example.jl:100-122)."""
+    t = np.arange(len(y)) if dates is None else dates
+    fig, ax = plt.subplots(figsize=(9, 4))
+    ax.scatter(t, np.asarray(y), s=8, color="black", label="observed data")
+    ax.fill_between(t, np.asarray(lower), np.asarray(upper), color="grey", alpha=0.35)
+    ax.plot(t, np.asarray(median), color="red", label=label)
+    ax.legend()
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+    return fig
+
+
+def plot_state_trajectory(xs, qs, path=None):
+    """Quantile-fan plot ≡ plot_state_trajectory (plotting_utils.jl:161-219).
+
+    ``xs``: (T,) state path; ``qs``: (n_probs, T) quantile curves
+    (symmetric probability levels, lowest first)."""
+    xs = np.asarray(xs)
+    qs = np.asarray(qs)
+    n_probs, T = qs.shape
+    n_fills = n_probs // 2
+    cols = cm.get_cmap("YlGnBu")(np.linspace(0.3, 0.9, max(n_fills, 3)))
+    fig, ax = plt.subplots(figsize=(9, 4.5))
+    t = np.arange(T)
+    for i in range(n_fills):
+        c = cols[n_fills - 1 - i]
+        ax.fill_between(t, qs[i], qs[n_probs - i - 1], color=c, alpha=0.6,
+                        linewidth=0)
+        ax.plot(t, qs[i], color=c, linewidth=0.8)
+        ax.plot(t, qs[n_probs - i - 1], color=c, linewidth=0.8)
+    ax.plot(t, xs, color="black", linewidth=1.2)
+    ax.set_xlim(0, T - 1)
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+    return fig
+
+
+def plot_variance_ratio(log_ratio_series, labels=None, path=None):
+    """log var(P(x,θ|y)) − log var(P(x|y,θ)) over time
+    ≡ examples/inflation_example.jl:404-423."""
+    fig, ax = plt.subplots(figsize=(9, 3.5))
+    series = np.atleast_2d(np.asarray(log_ratio_series))
+    for i, s in enumerate(series):
+        ax.plot(s, label=None if labels is None else labels[i])
+    ax.set_title("ratio of var(P(x,θ|y)) to var(P(x|y,θ))")
+    if labels is not None:
+        ax.legend()
+    fig.tight_layout()
+    if path:
+        fig.savefig(path)
+        plt.close(fig)
+    return fig

@@ -1,0 +1,132 @@
+"""L4 analysis: weighted quantiles, posterior summaries, predictive moments."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sequential_monte_carlo_tpu as smc
+from sequential_monte_carlo_tpu.analysis import (
+    cycle_quantiles,
+    estimated_trend,
+    ibis_estimated_trend,
+    ibis_predictive_quantiles,
+    observation_dist,
+    posterior_histograms,
+    predictive_quantiles,
+    state_quantiles,
+    state_variance,
+    weighted_quantile,
+)
+
+
+def test_weighted_quantile_uniform_weights():
+    x = jnp.asarray(np.random.default_rng(0).normal(size=5001))
+    w = jnp.full(5001, 1 / 5001)
+    qs = weighted_quantile(x, w, jnp.asarray([0.25, 0.5, 0.75]))
+    ref = np.quantile(np.asarray(x), [0.25, 0.5, 0.75])
+    np.testing.assert_allclose(np.asarray(qs), ref, atol=0.02)
+
+
+def test_weighted_quantile_point_mass():
+    x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    w = jnp.asarray([0.0, 1.0, 0.0, 0.0])
+    qs = weighted_quantile(x, w, jnp.asarray([0.1, 0.5, 0.9]))
+    assert (np.asarray(qs) == 2.0).all()
+
+
+@pytest.fixture(scope="module")
+def smc2_state():
+    prior = smc.product_distribution(
+        [
+            smc.Normal(jnp.asarray(3.0), jnp.asarray(2.0)),
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(4.0)),
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(4.0)),
+        ]
+    )
+    m_true = smc.uc_model(jnp.array([3.0, 0.5, 0.5]))
+    _, y = smc.simulate(jax.random.key(0), m_true, 50)
+    sampler = smc.SMC2(
+        smc.uc_model, prior,
+        smc.SMCConfig(n_particles=128, n_theta=64, chain=2),
+    )
+    state, _ = sampler.run(jax.random.key(1), y)
+    return state, y
+
+
+def test_state_quantiles_ordered(smc2_state):
+    state, y = smc2_state
+    qs = np.asarray(state_quantiles(state, jnp.asarray([0.25, 0.5, 0.75])))
+    assert qs.shape == (3,)
+    assert qs[0] <= qs[1] <= qs[2]
+    # the filtered trend should be in the data's ballpark
+    assert abs(qs[1] - float(y[-1])) < 4.0
+
+
+def test_cycle_quantiles_and_variance(smc2_state):
+    state, y = smc2_state
+    cq = np.asarray(cycle_quantiles(state, y[-1], jnp.asarray([0.25, 0.5, 0.75])))
+    assert cq[0] <= cq[1] <= cq[2]
+    v = float(state_variance(state))
+    assert v > 0.0 and np.isfinite(v)
+
+
+def test_estimated_trend_and_predictive_quantiles(smc2_state):
+    state, y = smc2_state
+    trend = float(estimated_trend(state, smc.uc_model))
+    assert np.isfinite(trend)
+    qs = np.asarray(
+        predictive_quantiles(state, smc.uc_model, jnp.asarray([0.1, 0.5, 0.9]))
+    )
+    assert qs[0] < qs[1] < qs[2]
+    assert abs(qs[1] - trend) < 1.0
+
+
+def test_posterior_histograms(smc2_state):
+    state, _ = smc2_state
+    hists = posterior_histograms(jax.random.key(2), state, n_samples=2000, bins=20)
+    assert len(hists) == 3
+    for counts, edges in hists:
+        assert counts.sum() == 2000
+        assert len(edges) == 21
+
+
+@pytest.fixture(scope="module")
+def ibis_state():
+    prior = smc.product_distribution(
+        [
+            smc.TruncatedNormal(jnp.asarray(0.0), jnp.asarray(1.0),
+                                jnp.asarray(-1.0), jnp.asarray(1.0)),
+            smc.LogNormal(jnp.asarray(0.0), jnp.asarray(1.0)),
+            smc.LogNormal(jnp.asarray(0.0), jnp.asarray(1.0)),
+        ]
+    )
+    m_true = smc.lg_model(jnp.array([0.5, 0.9, 0.8]))
+    _, y = smc.simulate(jax.random.key(3), m_true, 50)
+    ibis = smc.IBIS(smc.lg_model, prior, smc.SMCConfig(n_theta=128, chain=2))
+    state, _ = ibis.run(jax.random.key(4), y)
+    return state, y
+
+
+def test_ibis_observation_dist(ibis_state):
+    state, y = ibis_state
+    mu, var = observation_dist(state, smc.lg_model)
+    assert np.isfinite(float(mu)) and float(var) > 0
+    assert float(ibis_estimated_trend(state, smc.lg_model)) == pytest.approx(
+        float(mu)
+    )
+    qs = np.asarray(
+        ibis_predictive_quantiles(state, smc.lg_model, jnp.asarray([0.1, 0.5, 0.9]))
+    )
+    assert qs[0] < qs[1] < qs[2]
+    assert float(qs[1]) == pytest.approx(float(mu), abs=1e-4)
+
+
+def test_summaries_jittable(smc2_state):
+    """Summaries must run inside the online scan (collect_fn contract)."""
+    state, y = smc2_state
+    f = jax.jit(lambda s: state_quantiles(s, jnp.asarray([0.25, 0.5, 0.75])))
+    np.testing.assert_allclose(
+        np.asarray(f(state)),
+        np.asarray(state_quantiles(state, jnp.asarray([0.25, 0.5, 0.75]))),
+        rtol=1e-6,
+    )
