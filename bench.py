@@ -31,6 +31,18 @@ def main():
     p.add_argument("--repeats", type=int, default=2)
     args = p.parse_args()
 
+    # Persistent compilation cache: XLA programs here are large and this
+    # image's TPU compile path is remote (PALLAS_AXON_REMOTE_COMPILE) — the
+    # first compile can take minutes; cached reruns are seconds.
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: fused systematic/stratified resample + ancestor gather.
+
+Measured on TPU v5e, the XLA path for the inner-PF resampling step —
+``cumsum`` → vmapped ``searchsorted`` (binary search with dynamic-slice
+gathers) → ``jnp.take`` ancestor gather — costs ~63 ms per (M=512, N=1024)
+filter step, 97% of the whole step (propagate+reweight is 1.8 ms). Dynamic
+gathers are the one primitive TPUs hate (SURVEY.md §7 hard part (c)).
+
+This kernel eliminates both the search and the gather by computing the
+resampled cloud as a matmul against an implicit selection matrix:
+
+  W[i, j] = 1{ cdf_{j-1} ≤ u_i < cdf_j }        (u sorted ⇒ W is banded)
+  x'[c, i] = Σ_j x[c, j] · W[i, j]
+
+For sorted uniforms (systematic: u_i = (i+u0)/N; stratified likewise) W is
+exactly the ancestor one-hot matrix, so x' = x[ancestors] *bitwise exactly*
+(0/1 coefficients select f32 values without rounding). W tiles are built
+on-the-fly in VMEM from two broadcast compares and consumed immediately by
+the MXU — never materialized in HBM. Per (M,N)=(512,1024) step this is
+~8.6 GFLOP of 8×128×1024 matmuls + ~2G VPU compare-ops ≈ 1-2 ms, a ~40×
+speedup of the resampling stage.
+
+Layout: the particle cloud rides as (M, C, N) — components in sublanes,
+particles in lanes — with C padded to 8. The CDF is additionally fed in a
+(M, N, 1) sublane layout so each j-tile loads as a (128, 1) column without
+an in-kernel transpose.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_JT = 128  # j-tile (input-particle tile) size
+
+
+def _kernel(u_ref, cdf_ref, cdfp_ref, xs_ref, out_ref, acc_ref):
+    u = u_ref[0, 0, :]  # (N,) lanes
+
+    @pl.when(pl.program_id(1) == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    lo = cdfp_ref[0, :, 0][:, None]  # (JT, 1) sublanes: cdf_{j-1}
+    hi = cdf_ref[0, :, 0][:, None]  # (JT, 1) sublanes: cdf_j
+    # W^T tile: (JT_j, N_i) — banded 0/1 selection coefficients. Buckets are
+    # (cdf_{j-1}, cdf_j], matching searchsorted(side="left") tie behavior so
+    # results are bitwise-equal to the XLA gather path even at exact ties.
+    wt = ((u[None, :] > lo) & (u[None, :] <= hi)).astype(jnp.float32)
+    x_tile = xs_ref[0, :, :]  # (C, JT)
+    # Precision.HIGHEST: the MXU's default f32 path truncates inputs to
+    # bf16, which would corrupt the copied particle values; the 0/1
+    # selection matrix must reproduce them bitwise.
+    acc_ref[...] += jax.lax.dot_general(
+        x_tile,
+        wt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _emit():
+        out_ref[0, :, :] = acc_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def resample_gather(u, weights, xs, interpret: bool = False):
+    """Fused sorted-uniform resample + gather.
+
+    Args:
+      u: (M, N) SORTED uniforms in [0,1) (systematic/stratified grids).
+      weights: (M, N) normalized linear weights.
+      xs: (M, C, N) particle components (any C; padded to 8 internally).
+    Returns:
+      (M, C, N) resampled components, bitwise-equal to gather-by-ancestors.
+    """
+    m, n = u.shape
+    c = xs.shape[1]
+    c_pad = -(-c // 8) * 8
+    if c_pad != c:
+        xs = jnp.pad(xs, ((0, 0), (0, c_pad - c), (0, 0)))
+
+    cdf = jnp.cumsum(weights, axis=-1)
+    cdf = cdf / cdf[..., -1:]
+    # final bucket covers u → 1; first bucket's lower edge sits below u = 0
+    # (u == 0 must land in bucket 0, as searchsorted-left does)
+    cdf = cdf.at[..., -1].set(jnp.float32(1.0) + 1e-6)
+    cdf_prev = jnp.pad(
+        cdf[..., :-1], ((0, 0), (1, 0)), constant_values=-1.0
+    )
+
+    grid = (m, n // _JT)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _JT, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _JT, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, _JT), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c_pad, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, c_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c_pad, n), jnp.float32)],
+        interpret=interpret,
+    )(u[:, None, :], cdf[..., None], cdf_prev[..., None], xs)
+    return out[:, :c, :]
+
+
+def systematic_uniforms(key, m, n, dtype=jnp.float32):
+    """Per-θ systematic grids u_i = (i + u0)/n (one u0 per row)."""
+    u0 = jax.random.uniform(key, (m, 1), dtype=dtype)
+    i = jnp.arange(n, dtype=dtype)[None, :]
+    return (i + u0) / n
+
+
+def stratified_uniforms(key, m, n, dtype=jnp.float32):
+    """Per-θ stratified grids u_i = (i + v_i)/n."""
+    v = jax.random.uniform(key, (m, n), dtype=dtype)
+    i = jnp.arange(n, dtype=dtype)[None, :]
+    return (i + v) / n

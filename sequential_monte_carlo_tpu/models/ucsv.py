@@ -60,6 +60,24 @@ class UCSVModel:
         # ≡ state_space_models.jl:244-247
         return Normal(s[..., 0], jnp.exp(0.5 * s[..., 2]))
 
+    # -- optional fused fast path (kernels/ucsv_pallas.py) -------------------
+    # Called by ops/batched_filter.py on TPU with a θ-stacked model (fields
+    # shaped (M,)) and the whole (M, N, 3) cloud: propagate + reweight as one
+    # VMEM-resident Pallas pass with on-chip PRNG.
+    def fused_propagate_reweight(self, seed, y, particles):
+        from ..kernels.ucsv_pallas import ucsv_propagate_reweight
+
+        x = particles[..., 0]
+        lse = particles[..., 1]
+        lsn = particles[..., 2]
+        m = x.shape[0]
+        ge = jnp.broadcast_to(self.gamma_eps, (m,))
+        gn = jnp.broadcast_to(self.gamma_eta, (m,))
+        xo, lseo, lsno, logw = ucsv_propagate_reweight(
+            seed, y, ge, gn, x, lse, lsn
+        )
+        return jnp.stack([xo, lseo, lsno], axis=-1), logw
+
 
 def unobserved_components_stochastic_volatility(
     x0, gamma_eps, gamma_eta, log_sigma_eps, log_sigma_eta

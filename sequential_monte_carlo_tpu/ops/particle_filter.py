@@ -42,6 +42,8 @@ __all__ = [
     "pf_step",
     "log_likelihood",
     "log_likelihood_masked",
+    "apf_step",
+    "apf_log_likelihood",
     "filter_sequence",
 ]
 
@@ -56,6 +58,9 @@ class PFConfig(NamedTuple):
 
     resampling: str = "systematic"
     ess_threshold: float = 1.0  # resample when ESS < τ·N; 1.0 ≡ reference
+    # batched-filter resample+gather route: "auto" = Pallas kernel on TPU
+    # (systematic/stratified only), XLA elsewhere; "on"/"off" force it
+    fused_resample: str = "auto"
 
 
 class Proposal(NamedTuple):
@@ -207,6 +212,72 @@ def log_likelihood_masked(
     (state, logz), _ = jax.lax.scan(
         step, (init.state, init.log_mean), (keys, y[1:], mask[1:])
     )
+    return state, logz
+
+
+def apf_step(
+    key: jax.Array,
+    model,
+    state: ParticleState,
+    y: jax.Array,
+    config: PFConfig = PFConfig(),
+) -> PFStepOut:
+    """Auxiliary particle filter step (Pitt & Shephard 1999).
+
+    Not in the reference (whose filters are bootstrap/guided only,
+    particles.jl:28-129) but part of the target capability set
+    (BASELINE.json north star: "bootstrap/auxiliary particle filters").
+    First-stage weights look ahead through the transition mean:
+
+      λ_i ∝ w_i · g(y_t | μ_i),  μ_i = E[x_t | x_{t-1,i}]
+
+    resample by λ, propagate, then correct: w'_j = g(y_t|x'_j) / g(y_t|μ_{a_j}).
+    The evidence increment uses the standard APF estimator
+    p̂(y_t|y_{1:t-1}) = (Σ_i w_i g(y_t|μ_i)) · (1/N Σ_j w'_j).
+    """
+    n = state.particles.shape[0]
+    k_res, k_prop = jax.random.split(key)
+    x, lw = state
+
+    # first stage: lookahead weights through the transition mean
+    mu = model.transition_distribution(x).mean()
+    log_g_mu = model.observation_distribution(mu).log_prob(y)
+    log_lambda = lw + log_g_mu
+    lam_mean, lam_norm, _ = log_normalize(log_lambda)
+
+    ancestors = get_resampler(config.resampling)(k_res, jnp.exp(lam_norm))
+    xp = jnp.take(x, ancestors, axis=0)
+    log_g_mu_a = jnp.take(log_g_mu, ancestors, axis=0)
+
+    # second stage: propagate + correction weights
+    x_new = model.transition_distribution(xp).sample(k_prop)
+    corr = model.observation_distribution(x_new).log_prob(y) - log_g_mu_a
+
+    corr_mean, log_norm, ess = log_normalize(corr)
+    # p̂(y_t|·) = logsumexp(lw + g_mu) + log mean(corr)
+    log_mean = lam_mean + jnp.log(float(n)) + corr_mean
+    return PFStepOut(ParticleState(x_new, log_norm), log_mean, ess)
+
+
+def apf_log_likelihood(
+    key: jax.Array,
+    model,
+    n: int,
+    y: jax.Array,
+    config: PFConfig = PFConfig(),
+):
+    """Full-sequence APF marginal likelihood (lax.scan over T)."""
+    k0, k_scan = jax.random.split(key)
+    init = pf_init(k0, model, n, y[0])
+
+    def step(carry, inp):
+        st, acc = carry
+        k, yt = inp
+        out = apf_step(k, model, st, yt, config)
+        return (out.state, acc + out.log_mean), None
+
+    keys = jax.random.split(k_scan, y.shape[0] - 1)
+    (state, logz), _ = jax.lax.scan(step, (init.state, init.log_mean), (keys, y[1:]))
     return state, logz
 
 

@@ -62,6 +62,12 @@ def ess_from_log_weights(log_w: jax.Array, axis: int = -1) -> jax.Array:
     return 1.0 / jnp.sum(jnp.exp(2.0 * lw), axis=axis)
 
 
+# API-parity alias: the reference calls the identical operation ``reweight``
+# at the sampler layer (missing from its tree — SURVEY.md §0.2; call sites
+# smc_samplers.jl:62,183,232,249,265,298,338, ibis.jl:61,144,187).
+reweight = normalize
+
+
 # -- sharded variants (particle axis split over a mesh axis) -----------------
 
 def normalize_sharded(log_w: jax.Array, axis_name: str) -> Normalized:

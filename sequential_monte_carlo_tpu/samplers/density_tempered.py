@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.particle_filter import log_likelihood
+from ..ops.batched_filter import batched_log_likelihood
 from ..ops.weights import ess_from_log_weights
 from ..utils.struct import replace
 from .base import SMC2State
@@ -122,18 +122,17 @@ def _dt_init(sampler: SMC2):
     def impl(k_theta, k_pf, k_state, y):
         theta = sampler.prior.sample(k_theta, (cfg.n_theta,))
         models = jax.vmap(sampler.model_fn)(theta)
-        keys = jax.random.split(k_pf, cfg.n_theta)
-        pf_state, log_z = jax.vmap(
-            lambda k, m: log_likelihood(k, m, cfg.n_particles, y, cfg.inner)
-        )(keys, models)
+        particles, log_w, log_z = batched_log_likelihood(
+            k_pf, models, cfg.n_particles, cfg.n_theta, y, cfg.inner
+        )
         # initial reweight by logZ for the displayed ESS (≡ :232; the first
         # bisection replaces these weights)
         ess = ess_from_log_weights(log_z)
         return SMC2State(
             theta=theta,
             log_omega=log_z,
-            particles=pf_state.particles,
-            log_w=pf_state.log_weights,
+            particles=particles,
+            log_w=log_w,
             log_z=log_z,
             ess=ess,
             acc_ratio=jnp.asarray(0.0),

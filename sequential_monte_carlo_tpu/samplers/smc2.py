@@ -34,11 +34,10 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.particle_filter import (
-    ParticleState,
-    log_likelihood_masked,
-    pf_init,
-    pf_step,
+from ..ops.batched_filter import (
+    batched_log_likelihood_masked,
+    batched_pf_init,
+    batched_pf_step,
 )
 from ..ops.resampling import get_resampler
 from ..ops.weights import ess_from_log_weights
@@ -90,10 +89,7 @@ class SMC2:
         k_theta, k_pf, k_state = jax.random.split(key, 3)
         theta = self.prior.sample(k_theta, (cfg.n_theta,))
         models = jax.vmap(self.model_fn)(theta)
-        keys = jax.random.split(k_pf, cfg.n_theta)
-        outs = jax.vmap(
-            lambda k, m: pf_init(k, m, cfg.n_particles, y[0])
-        )(keys, models)
+        outs = batched_pf_init(k_pf, models, cfg.n_particles, cfg.n_theta, y[0])
         # ≡ smc²(smc,y): ω ← logμ₀, logZ ← ω (the reference's aliasing at
         # :297 made explicit), then reweight for the ESS
         log_omega = outs.log_mean
@@ -101,8 +97,8 @@ class SMC2:
         return SMC2State(
             theta=theta,
             log_omega=log_omega,
-            particles=outs.state.particles,
-            log_w=outs.state.log_weights,
+            particles=outs.particles,
+            log_w=outs.log_weights,
             log_z=outs.log_mean,
             ess=ess,
             acc_ratio=jnp.asarray(0.0),
@@ -146,9 +142,6 @@ class SMC2:
         chol = kernel_chol(sigma)
         scales = anneal_scales(cfg)
 
-        def masked_ll(k, m):
-            return log_likelihood_masked(k, m, n, y, mask, cfg.inner)
-
         def chain_step(carry, inp):
             theta, particles, log_w, log_z, accepted = carry
             k, scale = inp
@@ -160,8 +153,9 @@ class SMC2:
             # support (result discarded by the accept select)
             theta_safe = jnp.where(ok[:, None], theta_prop, theta)
             models = jax.vmap(self.model_fn)(theta_safe)
-            keys_pf = jax.random.split(k_pf, cfg.n_theta)
-            pf_state, logz_prop = jax.vmap(masked_ll)(keys_pf, models)
+            new_particles, new_log_w, logz_prop = batched_log_likelihood_masked(
+                k_pf, models, n, cfg.n_theta, y, mask, cfg.inner
+            )
 
             lp_prop = self.prior.log_prob(theta_prop)
             lp_curr = self.prior.log_prob(theta)
@@ -173,9 +167,9 @@ class SMC2:
 
             theta = jnp.where(accept[:, None], theta_prop, theta)
             particles = jnp.where(
-                accept[:, None, None], pf_state.particles, particles
+                accept[:, None, None], new_particles, particles
             )
-            log_w = jnp.where(accept[:, None], pf_state.log_weights, log_w)
+            log_w = jnp.where(accept[:, None], new_log_w, log_w)
             log_z = jnp.where(accept, logz_prop, log_z)
             accepted = accepted | accept
             return (theta, particles, log_w, log_z, accepted), None
@@ -232,11 +226,9 @@ class SMC2:
         # propagate every θ's cloud through y[t] ≡ smc_samplers.jl:324-335
         yt = jax.lax.dynamic_index_in_dim(y, state.t, keepdims=False)
         models = jax.vmap(self.model_fn)(state.theta)
-        keys = jax.random.split(k_prop, cfg.n_theta)
-        pf_states = ParticleState(state.particles, state.log_w)
-        outs = jax.vmap(
-            lambda k, m, s: pf_step(k, m, s, yt, cfg.inner)
-        )(keys, models, pf_states)
+        outs = batched_pf_step(
+            k_prop, models, state.particles, state.log_w, yt, cfg.inner
+        )
 
         prev_lse = jax.scipy.special.logsumexp(state.log_omega)
         log_omega = state.log_omega + outs.log_mean
@@ -247,8 +239,8 @@ class SMC2:
         state = replace(
             state,
             log_omega=log_omega,
-            particles=outs.state.particles,
-            log_w=outs.state.log_weights,
+            particles=outs.particles,
+            log_w=outs.log_weights,
             log_z=log_z,
             ess=ess,
             t=state.t + 1,
@@ -277,18 +269,17 @@ class SMC2:
         key, k_pf = jax.random.split(state.key)
         mask = (jnp.arange(T) < state.t).astype(y.dtype)
         models = jax.vmap(self.model_fn)(state.theta)
-        keys = jax.random.split(k_pf, cfg.n_theta)
-        pf_state, new_logz = jax.vmap(
-            lambda k, m: log_likelihood_masked(k, m, n, y, mask, cfg.inner)
-        )(keys, models)
+        new_particles, new_log_w, new_logz = batched_log_likelihood_masked(
+            k_pf, models, n, cfg.n_theta, y, mask, cfg.inner
+        )
         # importance-correct θ-weights by the likelihood ratio
         # ≡ reweight(new_logZ − logZ) (smc_samplers.jl:185-186)
         log_omega = new_logz - state.log_z
         ess = ess_from_log_weights(log_omega)
         return replace(
             state,
-            particles=pf_state.particles,
-            log_w=pf_state.log_weights,
+            particles=new_particles,
+            log_w=new_log_w,
             log_z=new_logz,
             log_omega=log_omega,
             ess=ess,

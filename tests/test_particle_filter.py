@@ -195,3 +195,30 @@ def test_reproducibility_bitwise(lg_data):
     _, z1 = log_likelihood(k, m, 256, y)
     _, z2 = log_likelihood(k, m, 256, y)
     assert float(z1) == float(z2)
+
+
+def test_apf_logz_within_mc_error_of_kalman(lg_data):
+    """Auxiliary PF (Pitt-Shephard) is unbiased: logZ vs Kalman oracle."""
+    from sequential_monte_carlo_tpu.ops import apf_log_likelihood
+
+    m, y = lg_data
+    _, kz = kalman_log_likelihood(m, y)
+    reps = 12
+    keys = jax.random.split(jax.random.key(21), reps)
+    zs = np.asarray(
+        jax.vmap(lambda k: apf_log_likelihood(k, m, 1024, y)[1])(keys)
+    )
+    se = zs.std(ddof=1) / np.sqrt(reps)
+    assert abs(zs.mean() - float(kz)) < max(5 * se, 1.0)
+    # APF lookahead should not inflate variance vs bootstrap on LG
+    assert zs.std(ddof=1) < 2.0
+
+
+def test_apf_on_nonlinear_sv(key):
+    from sequential_monte_carlo_tpu.ops import apf_log_likelihood
+    from sequential_monte_carlo_tpu.models import stochastic_volatility
+
+    m = stochastic_volatility()
+    _, y = simulate(key, m, 60)
+    _, z = apf_log_likelihood(jax.random.key(1), m, 2048, y)
+    assert np.isfinite(float(z))
