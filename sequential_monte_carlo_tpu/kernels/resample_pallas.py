@@ -67,8 +67,8 @@ def _kernel(u_ref, cdf_ref, cdfp_ref, xs_ref, out_ref, acc_ref):
         out_ref[0, :, :] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def resample_gather(u, weights, xs, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "jt"))
+def resample_gather(u, weights, xs, interpret: bool = False, jt: int = _JT):
     """Fused sorted-uniform resample + gather.
 
     Args:
@@ -93,15 +93,15 @@ def resample_gather(u, weights, xs, interpret: bool = False):
         cdf[..., :-1], ((0, 0), (1, 0)), constant_values=-1.0
     )
 
-    grid = (m, n // _JT)
+    grid = (m, n // jt)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _JT, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _JT, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_pad, _JT), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, jt, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, jt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, c_pad, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM

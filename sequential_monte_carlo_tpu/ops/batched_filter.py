@@ -53,6 +53,61 @@ def _use_fused(config: PFConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _ucsv_full_fusion(config: PFConfig, models) -> bool:
+    """The single-mega-kernel UC-SV step (kernels/ucsv_step_pallas.py).
+
+    Opt-in via ``fused_resample="max"`` only: measured on v5e it is slightly
+    slower (3.6 vs 2.7 ms/step at (512,1024)) than the default two-kernel
+    route (resample_pallas + the model's fused_propagate_reweight hook) —
+    the last-tile propagate runs on 1/8 of the sublanes and serializes the
+    output write. Kept as the starting point for a pipelined rewrite."""
+    from ..models.ucsv import UCSVModel
+
+    return (
+        getattr(config, "fused_resample", "auto") == "max"
+        and config.resampling in ("systematic", "stratified", "residual")
+        and config.ess_threshold >= 1.0
+        and isinstance(models, UCSVModel)
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _to_planar(particles):
+    """(M, N, 3) → (M, 8, N): components in sublanes, particles in lanes."""
+    p = jnp.swapaxes(particles, 1, 2)
+    return jnp.pad(p, ((0, 0), (0, 8 - p.shape[1]), (0, 0)))
+
+
+def _from_planar(planar, dx=3):
+    return jnp.swapaxes(planar[:, :dx, :], 1, 2)
+
+
+def _make_sorted_u(key, config, m, n, dtype):
+    make = (
+        systematic_uniforms
+        if config.resampling in ("systematic", "residual")
+        else stratified_uniforms
+    )
+    return make(key, m, n, dtype=dtype)
+
+
+def _ucsv_fused_call(k_res, k_prop, models, weights, planar, y, config):
+    """One fused UC-SV kernel step on a planar cloud; returns (planar', logw)."""
+    from ..kernels.ucsv_step_pallas import ucsv_fused_step
+
+    m, n = weights.shape
+    u = _make_sorted_u(k_res, config, m, n, weights.dtype)
+    seed = jax.random.randint(k_prop, (), 0, jnp.iinfo(jnp.int32).max)
+    gammas = jnp.stack(
+        [
+            jnp.broadcast_to(models.gamma_eps, (m,)),
+            jnp.broadcast_to(models.gamma_eta, (m,)),
+        ],
+        axis=-1,
+    )
+    return ucsv_fused_step(seed, y, gammas, u, weights, planar)
+
+
 def batched_pf_init(key, models, n, m, y0):
     """vmapped pf_init over the stacked model pytree."""
     keys = jax.random.split(key, m)
@@ -67,6 +122,23 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
     m, n, dx = particles.shape
     k_res, k_prop = jax.random.split(key)
     w = jnp.exp(log_w)
+
+    if _ucsv_full_fusion(config, models):
+        with jax.named_scope("pf_step_fully_fused"):
+            planar, logw = _ucsv_fused_call(
+                k_res, k_prop, models, w, _to_planar(particles), y, config
+            )
+            x_new = _from_planar(planar)
+            log_n = jnp.log(jnp.asarray(float(n), dtype=log_w.dtype))
+            tot = logw - log_n
+            maxw = jnp.max(tot, axis=-1, keepdims=True)
+            maxw = jnp.where(jnp.isfinite(maxw), maxw, 0.0)
+            lse = maxw + jnp.log(
+                jnp.sum(jnp.exp(tot - maxw), axis=-1, keepdims=True)
+            )
+            log_norm = tot - lse
+            ess = 1.0 / jnp.sum(jnp.exp(2.0 * log_norm), axis=-1)
+            return BatchedPFOut(x_new, log_norm, jnp.squeeze(lse, -1), ess)
 
     with jax.named_scope("pf_resample"):
         if _use_fused(config):
@@ -124,10 +196,48 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
     return BatchedPFOut(x_new, log_norm, jnp.squeeze(lse, -1), ess)
 
 
+def _ucsv_masked_ll(key, models, n, m, y, mask, config: PFConfig):
+    """Planar-carry masked LL for the fully-fused UC-SV path: the cloud stays
+    in (M, 8, N) layout for the whole scan — one kernel and a handful of
+    (M, N) reductions per live step, zero transposes."""
+    k0, k_scan = jax.random.split(key)
+    init = batched_pf_init(k0, models, n, m, y[0])
+    log_n = jnp.log(jnp.asarray(float(n), dtype=init.log_weights.dtype))
+
+    def step(carry, inp):
+        k, yt, mt = inp
+
+        def live(c):
+            planar, log_norm, acc = c
+            k_res, k_prop = jax.random.split(k)
+            planar_new, logw = _ucsv_fused_call(
+                k_res, k_prop, models, jnp.exp(log_norm), planar, yt, config
+            )
+            tot = logw - log_n
+            maxw = jnp.max(tot, axis=-1, keepdims=True)
+            maxw = jnp.where(jnp.isfinite(maxw), maxw, 0.0)
+            lse = maxw + jnp.log(
+                jnp.sum(jnp.exp(tot - maxw), axis=-1, keepdims=True)
+            )
+            return (planar_new, tot - lse, acc + jnp.squeeze(lse, -1))
+
+        return jax.lax.cond(mt > 0, live, lambda c: c, carry), None
+
+    keys = jax.random.split(k_scan, y.shape[0] - 1)
+    (planar, log_norm, logz), _ = jax.lax.scan(
+        step,
+        (_to_planar(init.particles), init.log_weights, init.log_mean),
+        (keys, y[1:], mask[1:]),
+    )
+    return _from_planar(planar), log_norm, logz
+
+
 def batched_log_likelihood_masked(key, models, n, m, y, mask,
                                   config: PFConfig = PFConfig()):
     """Masked-prefix logZ for all M θ at once — the rejuvenation inner loop
     (≡ M× particles.jl:132-147 over y[1:t])."""
+    if _ucsv_full_fusion(config, models):
+        return _ucsv_masked_ll(key, models, n, m, y, mask, config)
     k0, k_scan = jax.random.split(key)
     init = batched_pf_init(k0, models, n, m, y[0])
 

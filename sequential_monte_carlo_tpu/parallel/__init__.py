@@ -1,3 +1,8 @@
+from .collective import (
+    distributed_pf_step,
+    distributed_systematic_resample,
+    gather_global,
+)
 from .mesh import (
     PARTICLE_AXIS,
     THETA_AXIS,
@@ -6,7 +11,7 @@ from .mesh import (
     shard_state,
     smc2_state_shardings,
 )
-from .sharded import ShardedSMC2
+from .sharded import ShardedIBIS, ShardedSMC2
 
 __all__ = [
     "THETA_AXIS",
@@ -16,4 +21,8 @@ __all__ = [
     "smc2_state_shardings",
     "ibis_state_shardings",
     "ShardedSMC2",
+    "ShardedIBIS",
+    "distributed_systematic_resample",
+    "distributed_pf_step",
+    "gather_global",
 ]

@@ -71,3 +71,44 @@ class ShardedSMC2:
     def reshard(self, state):
         """Place an existing (e.g. checkpointed) state onto this mesh."""
         return shard_state(state, self.shardings)
+
+
+class ShardedIBIS:
+    """IBIS with the θ-axis sharded over the mesh's ``theta`` axis.
+
+    The Kalman bank is embarrassingly parallel over θ; only the θ-resample
+    ancestry and global ESS cross shards (O(M) scalars per step)."""
+
+    def __init__(self, ibis, mesh=None):
+        from .mesh import ibis_state_shardings
+
+        self.ibis = ibis
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.shardings = ibis_state_shardings(self.mesh)
+        repl = NamedSharding(self.mesh, P())
+        self._init_jit = jax.jit(ibis._init_impl, out_shardings=self.shardings)
+        self._step_jit = jax.jit(
+            ibis._step_impl,
+            in_shardings=(self.shardings, repl),
+            out_shardings=(self.shardings, None),
+            donate_argnums=(0,),
+        )
+        self._run_jit = jax.jit(
+            ibis._run_impl, out_shardings=(self.shardings, None)
+        )
+
+    @property
+    def config(self):
+        return self.ibis.config
+
+    def init(self, key, y):
+        return self._init_jit(key, jax.numpy.asarray(y))
+
+    def step(self, state, y):
+        return self._step_jit(state, jax.numpy.asarray(y))
+
+    def run(self, key, y):
+        return self._run_jit(key, jax.numpy.asarray(y))
+
+    def reshard(self, state):
+        return shard_state(state, self.shardings)
