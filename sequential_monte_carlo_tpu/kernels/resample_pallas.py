@@ -38,54 +38,65 @@ _JT = 128  # j-tile (input-particle tile) size
 
 
 def _kernel(u_ref, cdf_ref, cdfp_ref, xs_ref, out_ref, acc_ref):
-    u = u_ref[0, 0, :]  # (N,) lanes
-
+    # Blocks carry TM θ-rows per grid step (grid overhead ~3 µs/step on v5e
+    # dominates the per-row compute, so batching rows is the win).
     @pl.when(pl.program_id(1) == 0)
     def _zero():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    lo = cdfp_ref[0, :, 0][:, None]  # (JT, 1) sublanes: cdf_{j-1}
-    hi = cdf_ref[0, :, 0][:, None]  # (JT, 1) sublanes: cdf_j
-    # W^T tile: (JT_j, N_i) — banded 0/1 selection coefficients. Buckets are
-    # (cdf_{j-1}, cdf_j], matching searchsorted(side="left") tie behavior so
-    # results are bitwise-equal to the XLA gather path even at exact ties.
-    wt = ((u[None, :] > lo) & (u[None, :] <= hi)).astype(jnp.float32)
-    x_tile = xs_ref[0, :, :]  # (C, JT)
+    u = u_ref[:, 0, :]  # (TM, N) lanes
+    lo = cdfp_ref[:, :, 0]  # (TM, JT) sublanes: cdf_{j-1}
+    hi = cdf_ref[:, :, 0]  # (TM, JT) sublanes: cdf_j
+    # W^T tiles: (TM, JT_j, N_i) — banded 0/1 selection coefficients.
+    # Buckets are (cdf_{j-1}, cdf_j], matching searchsorted(side="left") tie
+    # behavior so results are bitwise-equal to the XLA gather path.
+    wt = (
+        (u[:, None, :] > lo[:, :, None]) & (u[:, None, :] <= hi[:, :, None])
+    ).astype(jnp.float32)
+    x_tile = xs_ref[...]  # (TM, C, JT)
     # Precision.HIGHEST: the MXU's default f32 path truncates inputs to
     # bf16, which would corrupt the copied particle values; the 0/1
     # selection matrix must reproduce them bitwise.
     acc_ref[...] += jax.lax.dot_general(
         x_tile,
         wt,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _emit():
-        out_ref[0, :, :] = acc_ref[...]
+        out_ref[...] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "jt"))
-def resample_gather(u, weights, xs, interpret: bool = False, jt: int | None = None):
+@functools.partial(jax.jit, static_argnames=("interpret", "jt", "tm"))
+def resample_gather(u, weights, xs, interpret: bool = False,
+                    jt: int | None = None, tm: int | None = None):
     """Fused sorted-uniform resample + gather.
 
     Args:
       u: (M, N) SORTED uniforms in [0,1) (systematic/stratified grids).
       weights: (M, N) normalized linear weights.
       xs: (M, C, N) particle components (any C; padded to 8 internally).
-      jt: j-tile size; None → largest tile whose (jt, N) selection block
-        fits comfortably in VMEM (measured fastest: fewer grid steps wins,
-        1.70 ms vs 2.50 ms at (512,1024) for jt=N vs 128).
+      jt: j-tile size (input-particle tile); None → auto.
+      tm: θ-rows per grid step; None → auto. Auto keeps the (tm, jt, N)
+        selection block ≤ ~8 MB of VMEM while minimizing grid steps (grid
+        overhead, not compute, dominates at small N).
     Returns:
       (M, C, N) resampled components, bitwise-equal to gather-by-ancestors.
     """
     m, n = u.shape
-    if jt is None:
-        jt = min(n, max(_JT, (1 << 20) // n))  # wt tile ≤ ~4 MB f32
-        while n % jt:
-            jt //= 2
+    if jt is None or tm is None:
+        budget = (1 << 21) // n  # tm*jt elements so wt ≤ 8 MB f32
+        if jt is None:
+            jt = min(n, max(_JT, budget))
+            while n % jt:
+                jt //= 2
+        if tm is None:
+            tm = max(1, min(m, budget // jt))
+            while m % tm:
+                tm -= 1
     c = xs.shape[1]
     c_pad = -(-c // 8) * 8
     if c_pad != c:
@@ -100,21 +111,21 @@ def resample_gather(u, weights, xs, interpret: bool = False, jt: int | None = No
         cdf[..., :-1], ((0, 0), (1, 0)), constant_values=-1.0
     )
 
-    grid = (m, n // jt)
+    grid = (m // tm, n // jt)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, jt, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, jt, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c_pad, jt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, jt, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, jt, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, c_pad, jt), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, c_pad, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            (tm, c_pad, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((m, c_pad, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((c_pad, n), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tm, c_pad, n), jnp.float32)],
         interpret=interpret,
     )(u[:, None, :], cdf[..., None], cdf_prev[..., None], xs)
     return out[:, :c, :]

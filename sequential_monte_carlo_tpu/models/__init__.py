@@ -1,5 +1,5 @@
 from .base import StateSpaceModel, simulate
-from .dsl import DSLModel, ModelSpec, ssm_model
+from .dsl import DSLModel, ModelSpec, linear_ssm_model, ssm_model
 from .linear_gaussian import (
     LinearGaussianModel,
     hodrick_prescott,
@@ -35,4 +35,5 @@ __all__ = [
     "DSLModel",
     "ModelSpec",
     "ssm_model",
+    "linear_ssm_model",
 ]

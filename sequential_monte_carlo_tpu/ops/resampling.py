@@ -81,11 +81,41 @@ def residual_systematic(key, weights, n=None):
     return systematic(key, weights, n)
 
 
+def metropolis(key, weights, n=None, n_iters: int = 16):
+    """Metropolis resampler (Murray, arXiv:1202.6163 — PAPERS.md).
+
+    Collective-free: each output runs a short independent Metropolis chain
+    over ancestor candidates, accepting j over i with prob w_j/w_i. Needs no
+    CDF/prefix-sum at all — every op is elementwise — at the cost of a small,
+    controllable bias that decays geometrically in ``n_iters``. The
+    scale-out option for sharded particle axes where even one all_gather is
+    too much; default schemes remain exact.
+    """
+    n = n or weights.shape[-1]
+    size = weights.shape[-1]
+    k_start, k_chain = jax.random.split(key)
+    idx = jax.random.randint(k_start, (n,), 0, size)
+
+    def body(carry, k):
+        idx = carry
+        k_prop, k_acc = jax.random.split(k)
+        prop = jax.random.randint(k_prop, (n,), 0, size)
+        u = jax.random.uniform(k_acc, (n,), dtype=weights.dtype)
+        ratio = weights[prop] / jnp.maximum(weights[idx], 1e-38)
+        idx = jnp.where(u < ratio, prop, idx)
+        return idx, None
+
+    keys = jax.random.split(k_chain, n_iters)
+    idx, _ = jax.lax.scan(body, idx, keys)
+    return idx.astype(jnp.int32)
+
+
 _SCHEMES = {
     "multinomial": multinomial,
     "systematic": systematic,
     "stratified": stratified,
     "residual": residual_systematic,
+    "metropolis": metropolis,
 }
 
 

@@ -70,3 +70,13 @@ def test_degenerate_weight_vector():
 def test_resample_n_override(weights):
     a = resample(jax.random.key(0), weights, n=2 * N, scheme="systematic")
     assert a.shape == (2 * N,)
+
+
+def test_metropolis_approximately_unbiased(weights):
+    """Metropolis resampler (Murray 2012): bias decays in chain length."""
+    counts = _offspring_counts("metropolis", weights, trials=TRIALS)
+    expected = N * np.asarray(weights)
+    got = counts.mean(0)
+    # biased scheme: looser tolerance, but must clearly track the weights
+    assert np.corrcoef(got, expected)[0, 1] > 0.99
+    np.testing.assert_allclose(got, expected, atol=1.0)
