@@ -35,7 +35,6 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sequential_monte_carlo_tpu as smc  # noqa: E402
 from sequential_monte_carlo_tpu.analysis import (
-    cycle_quantiles,
     posterior_histograms,
     state_quantiles,
     state_variance,
@@ -93,9 +92,11 @@ def run_online(name, model_fn, prior, y, n, m, chain, outdir):
     def collect(state):
         t = state.t - 1
         yt = jax.lax.dynamic_index_in_dim(y, t, keepdims=False)
+        xq = state_quantiles(state, PS)
+        # cycle quantiles without a second sort: q_p(y−x) = y − q_{1−p}(x)
         return {
-            "xq": state_quantiles(state, PS),
-            "cq": cycle_quantiles(state, yt, PS),
+            "xq": xq,
+            "cq": yt - xq[::-1],
             "var": state_variance(state),
         }
 
@@ -159,6 +160,7 @@ def main():
     p.add_argument("--full", action="store_true",
                    help="reference sizes (UC 512x1024 chain 3; UCSV 512x8192 chain 5)")
     p.add_argument("--outdir", default=os.path.join(HERE, "out"))
+    p.add_argument("--model", choices=["uc", "ucsv", "both"], default="both")
     args = p.parse_args()
     os.makedirs(args.outdir, exist_ok=True)
 
@@ -168,30 +170,34 @@ def main():
     else:
         uc_sizes, ucsv_sizes = (256, 128, 3), (512, 128, 3)
 
-    # -- UC model (inflation_example.jl:28-74) --
-    uc_state, uc_theta, uc_vars = run_online(
-        "uc", smc.uc_model, uc_prior(), y, *uc_sizes, outdir=args.outdir
-    )
-    uc_pred_vars = run_pf_at_theta_hat(
-        "uc", smc.uc_model(jnp.asarray(uc_theta)), y, uc_sizes[0], args.outdir
-    )
+    ratios, labels = [], []
+    eps = 1e-12
 
-    # -- UC-SV model (inflation_example.jl:229-267) --
-    ucsv_state, ucsv_theta, ucsv_vars = run_online(
-        "ucsv", smc.ucsv_model, ucsv_prior(), y, *ucsv_sizes, outdir=args.outdir
-    )
-    ucsv_pred_vars = run_pf_at_theta_hat(
-        "ucsv", smc.ucsv_model(jnp.asarray(ucsv_theta)), y, ucsv_sizes[0], args.outdir
-    )
+    if args.model in ("uc", "both"):
+        # -- UC model (inflation_example.jl:28-74) --
+        uc_state, uc_theta, uc_vars = run_online(
+            "uc", smc.uc_model, uc_prior(), y, *uc_sizes, outdir=args.outdir
+        )
+        uc_pred_vars = run_pf_at_theta_hat(
+            "uc", smc.uc_model(jnp.asarray(uc_theta)), y, uc_sizes[0], args.outdir
+        )
+        ratios.append(np.log(uc_vars + eps) - np.log(uc_pred_vars[1:] + eps))
+        labels.append("log variance ratio (UC)")
+
+    if args.model in ("ucsv", "both"):
+        # -- UC-SV model (inflation_example.jl:229-267) --
+        ucsv_state, ucsv_theta, ucsv_vars = run_online(
+            "ucsv", smc.ucsv_model, ucsv_prior(), y, *ucsv_sizes, outdir=args.outdir
+        )
+        ucsv_pred_vars = run_pf_at_theta_hat(
+            "ucsv", smc.ucsv_model(jnp.asarray(ucsv_theta)), y, ucsv_sizes[0], args.outdir
+        )
+        ratios.append(np.log(ucsv_vars + eps) - np.log(ucsv_pred_vars[1:] + eps))
+        labels.append("log variance ratio (UCSV)")
 
     # -- log variance ratio (inflation_example.jl:404-423) --
-    eps = 1e-12
-    ratios = [
-        np.log(uc_vars + eps) - np.log(uc_pred_vars[1:] + eps),
-        np.log(ucsv_vars + eps) - np.log(ucsv_pred_vars[1:] + eps),
-    ]
     plot_variance_ratio(
-        ratios, labels=["log variance ratio (UC)", "log variance ratio (UCSV)"],
+        ratios, labels=labels,
         path=os.path.join(args.outdir, "log_variance_ratio_inflation.png"),
     )
     print(f"wrote figures to {args.outdir}")

@@ -53,3 +53,43 @@ def load_checkpoint(path: str, template):
         else:
             restored.append(jnp.asarray(arr))
     return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+# -- orbax backend (multi-host-capable, async) -------------------------------
+
+def save_checkpoint_orbax(path: str, state) -> None:
+    """Orbax-backed save — use for multi-host runs (each host writes its
+    shard) or when async checkpointing matters; the npz path is the
+    zero-dependency default."""
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        ckptr.save(os.path.abspath(path), _dekey(state), force=True)
+
+
+def load_checkpoint_orbax(path: str, template):
+    import orbax.checkpoint as ocp
+
+    with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ckptr:
+        restored = ckptr.restore(os.path.abspath(path), _dekey(template))
+    return _rekey(restored, template)
+
+
+def _dekey(state):
+    """PRNG keys → raw uint32 data (orbax can't serialize key arrays)."""
+    return jax.tree_util.tree_map(
+        lambda leaf: jax.random.key_data(leaf)
+        if jnp.issubdtype(jnp.asarray(leaf).dtype, jax.dtypes.prng_key)
+        else leaf,
+        state,
+    )
+
+
+def _rekey(restored, template):
+    return jax.tree_util.tree_map(
+        lambda r, t: jax.random.wrap_key_data(jnp.asarray(r))
+        if jnp.issubdtype(jnp.asarray(t).dtype, jax.dtypes.prng_key)
+        else jnp.asarray(r),
+        restored,
+        template,
+    )

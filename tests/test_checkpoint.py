@@ -77,3 +77,27 @@ def test_checkpoint_ibis(tmp_path):
     save_checkpoint(path, state)
     restored = load_checkpoint(path, state)
     np.testing.assert_array_equal(np.asarray(state.mean), np.asarray(restored.mean))
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        import pytest
+
+        pytest.skip("orbax not installed")
+    from sequential_monte_carlo_tpu.utils.checkpoint import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    sampler, y = _sampler_and_y()
+    state = sampler.init(jax.random.key(5), y)
+    path = os.path.join(tmp_path, "orbax_ckpt")
+    save_checkpoint_orbax(path, state)
+    restored = load_checkpoint_orbax(path, state)
+    np.testing.assert_array_equal(np.asarray(state.theta), np.asarray(restored.theta))
+    # resumes identically
+    a, _ = sampler.step(state, y)
+    b, _ = sampler.step(restored, y)
+    np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
