@@ -148,9 +148,17 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
                 else stratified_uniforms
             )
             u = make_u(k_res, m, n, dtype=w.dtype)
-            gathered = resample_gather(
-                u, w, particles.transpose(0, 2, 1)
-            ).transpose(0, 2, 1)
+            if n >= 4096:
+                # sub-N² banded kernel with exact dense fallback
+                from ..kernels.resample_banded import resample_gather_banded
+
+                gathered = resample_gather_banded(
+                    u, w, particles.transpose(0, 2, 1)
+                ).transpose(0, 2, 1)
+            else:
+                gathered = resample_gather(
+                    u, w, particles.transpose(0, 2, 1)
+                ).transpose(0, 2, 1)
         else:
             keys = jax.random.split(k_res, m)
             anc = jax.vmap(

@@ -128,3 +128,42 @@ def test_fused_config_off_on_cpu_matches_statistics(setup):
     _, _, z_off = batched_log_likelihood(jax.random.key(5), models, 256, M, y, cfg_off)
     kz = jax.vmap(lambda m: smc.kalman_log_likelihood(m, y)[1])(models)
     assert np.abs(np.asarray(z_off - kz)).max() < 3.0
+
+
+@pytest.mark.parametrize("concentration", [2.0, 8.0])
+def test_resample_gather_banded_bitwise(concentration):
+    """Banded sub-N² kernel ≡ dense ≡ searchsorted+take (both cond paths)."""
+    from sequential_monte_carlo_tpu.kernels.resample_banded import (
+        resample_gather_banded,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N, C = 4, 2048, 3
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.key(0), (M, N)) * concentration
+    )
+    xs = jax.random.normal(jax.random.key(1), (M, C, N))
+    u = systematic_uniforms(jax.random.key(2), M, N)
+    with pltpu.force_tpu_interpret_mode():
+        out = resample_gather_banded(u, w, xs)
+    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
+    assert bool(jnp.all(out == ref))
+
+
+def test_resample_gather_banded_small_n_falls_back():
+    from sequential_monte_carlo_tpu.kernels.resample_banded import (
+        resample_gather_banded,
+    )
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N, C = 2, 512, 2  # N < 2*win → routes to the dense kernel
+    w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (M, N)))
+    xs = jax.random.normal(jax.random.key(1), (M, C, N))
+    u = systematic_uniforms(jax.random.key(2), M, N)
+    with pltpu.force_tpu_interpret_mode():
+        out = resample_gather_banded(u, w, xs)
+    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
+    assert bool(jnp.all(out == ref))
