@@ -149,14 +149,18 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
             )
             u = make_u(k_res, m, n, dtype=w.dtype)
             if n >= 4096:
-                # sub-N² banded kernel with exact dense fallback
+                # sub-N² banded kernel with exact dense-bytes fallback
                 from ..kernels.resample_banded import resample_gather_banded
 
                 gathered = resample_gather_banded(
                     u, w, particles.transpose(0, 2, 1)
                 ).transpose(0, 2, 1)
             else:
-                gathered = resample_gather(
+                # dense int8 byte-plane kernel: bitwise-equal to
+                # resample_gather, ~1/6 the MXU passes
+                from ..kernels.resample_pallas import resample_gather_bytes
+
+                gathered = resample_gather_bytes(
                     u, w, particles.transpose(0, 2, 1)
                 ).transpose(0, 2, 1)
         else:
