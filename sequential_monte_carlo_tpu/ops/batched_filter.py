@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from ..kernels.resample_pallas import (
-    resample_gather,
     stratified_uniforms,
     systematic_uniforms,
 )
@@ -148,21 +147,15 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
                 else stratified_uniforms
             )
             u = make_u(k_res, m, n, dtype=w.dtype)
-            if n >= 4096:
-                # sub-N² banded kernel with exact dense-bytes fallback
-                from ..kernels.resample_banded import resample_gather_banded
+            # monotone chunk-walk kernel: exact at any weight distribution,
+            # fastest at every size (1.4 vs 1.9 ms at N=1024, 9 vs 34 ms at
+            # N=8192 against the dense byte-plane kernel); falls back to
+            # the dense kernel itself for non-divisible shapes
+            from ..kernels.resample_walk import resample_gather_walk
 
-                gathered = resample_gather_banded(
-                    u, w, particles.transpose(0, 2, 1)
-                ).transpose(0, 2, 1)
-            else:
-                # dense int8 byte-plane kernel: bitwise-equal to
-                # resample_gather, ~1/6 the MXU passes
-                from ..kernels.resample_pallas import resample_gather_bytes
-
-                gathered = resample_gather_bytes(
-                    u, w, particles.transpose(0, 2, 1)
-                ).transpose(0, 2, 1)
+            gathered = resample_gather_walk(
+                u, w, particles.transpose(0, 2, 1)
+            ).transpose(0, 2, 1)
         else:
             keys = jax.random.split(k_res, m)
             anc = jax.vmap(

@@ -167,3 +167,58 @@ def test_resample_gather_banded_small_n_falls_back():
     anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
     ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
     assert bool(jnp.all(out == ref))
+
+
+@pytest.mark.parametrize("concentration", [0.0, 2.0, 8.0])
+def test_resample_gather_walk_bitwise(concentration):
+    """Chunk-walk kernel ≡ searchsorted+take at any weight concentration."""
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        resample_gather_walk,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N, C = 4, 2048, 3
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.key(0), (M, N)) * concentration
+    )
+    xs = jax.random.normal(jax.random.key(1), (M, C, N))
+    u = systematic_uniforms(jax.random.key(2), M, N)
+    with pltpu.force_tpu_interpret_mode():
+        out = resample_gather_walk(u, w, xs, tm=2)
+    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
+    assert bool(jnp.all(out == ref))
+
+
+def test_resample_gather_walk_degenerate_weight():
+    """Point-mass weights: the walk needs no fallback (bounded work)."""
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        resample_gather_walk,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N, C = 2, 1024, 2
+    w = jnp.zeros((M, N)).at[:, 900].set(1.0)
+    xs = jax.random.normal(jax.random.key(1), (M, C, N))
+    u = systematic_uniforms(jax.random.key(2), M, N)
+    with pltpu.force_tpu_interpret_mode():
+        out = resample_gather_walk(u, w, xs, tm=2)
+    expect = jnp.broadcast_to(xs[:, :, 900:901], (M, C, N))
+    assert bool(jnp.all(out == expect))
+
+
+def test_resample_gather_walk_non_divisible_falls_back():
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        resample_gather_walk,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N, C = 3, 384, 2  # M % tm and N % cw both awkward → dense fallback
+    w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (M, N)))
+    xs = jax.random.normal(jax.random.key(1), (M, C, N))
+    u = systematic_uniforms(jax.random.key(2), M, N)
+    with pltpu.force_tpu_interpret_mode():
+        out = resample_gather_walk(u, w, xs)
+    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
+    assert bool(jnp.all(out == ref))
