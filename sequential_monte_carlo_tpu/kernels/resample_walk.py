@@ -99,7 +99,7 @@ def _kernel(ks_ref, ke_ref, u_ref, cdfs_ref, cdfps_ref, xb_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("tm", "ot", "cw", "interpret"))
 def resample_gather_walk(u, weights, xs, tm: int | None = None,
-                         ot: int = 256, cw: int = 256,
+                         ot: int = 256, cw: int = 128,
                          interpret: bool = False):
     """Fused sorted-uniform resample + ancestor gather, chunk-walk kernel.
 
@@ -118,7 +118,10 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     """
     m, n = u.shape
     if tm is None:
-        tm = 8 if n <= 4096 else 4
+        # swept on v5e (2026-08-18): tm=8, ot=256, cw=128 is at or within 3%
+        # of best from N=1024 (1.25 ms) to N=8192 (6.8 ms); larger cw loses
+        # (chunk-coverage overshoot), tm=16 fails to compile at large N
+        tm = 8
         while m % tm:
             tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:
