@@ -14,7 +14,6 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
-from matplotlib import cm  # noqa: E402
 
 
 def plot_histograms(histograms, var_names=None, path=None):
@@ -68,7 +67,7 @@ def plot_state_trajectory(xs, qs, path=None):
     qs = np.asarray(qs)
     n_probs, T = qs.shape
     n_fills = n_probs // 2
-    cols = cm.get_cmap("YlGnBu")(np.linspace(0.3, 0.9, max(n_fills, 3)))
+    cols = matplotlib.colormaps["YlGnBu"](np.linspace(0.3, 0.9, max(n_fills, 3)))
     fig, ax = plt.subplots(figsize=(9, 4.5))
     t = np.arange(T)
     for i in range(n_fills):

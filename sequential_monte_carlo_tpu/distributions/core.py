@@ -181,6 +181,25 @@ class TruncatedNormal:
         phi = lambda t: jnp.exp(-0.5 * t * t) / math.sqrt(2 * math.pi)
         return self.loc + self.scale * (phi(a) - phi(b)) / (fb - fa)
 
+    def variance(self):
+        """σ²·[1 + (αφ(α) − βφ(β))/Z − ((φ(α) − φ(β))/Z)²] with
+        Z = Φ(β) − Φ(α); the t·φ(t) terms vanish at infinite bounds."""
+        fa, fb = self._cdf_bounds()
+        z = fb - fa
+        a = (self.low - self.loc) / self.scale
+        b = (self.high - self.loc) / self.scale
+        phi = lambda t: jnp.exp(-0.5 * t * t) / math.sqrt(2 * math.pi)
+        tphi = lambda t: jnp.where(jnp.isfinite(t), t * phi(t), 0.0)
+        m1 = (phi(a) - phi(b)) / z
+        return self.scale**2 * (1.0 + (tphi(a) - tphi(b)) / z - m1 * m1)
+
+    def quantile(self, p):
+        """Inverse CDF: loc + σ·Φ⁻¹(Φ(α) + p·Z) — the exact inverse of the
+        sampling path, so sample(key) ≡ quantile(U)."""
+        fa, fb = self._cdf_bounds()
+        q = jnp.clip(fa + p * (fb - fa), 1e-7, 1.0 - 1e-7)
+        return self.loc + self.scale * ndtri(q)
+
 
 @pytree_dataclass
 class Product:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-from ..utils.struct import pytree_dataclass
+from ..utils.struct import pytree_dataclass, static_field
 
 _LOG_2PI = math.log(2.0 * math.pi)
 _EIG_TOL = 1e-10
@@ -42,10 +42,16 @@ def _eig_parts(cov):
 
 @pytree_dataclass
 class MvNormal:
-    """N(mean, cov) over R^k; ``mean`` (..., k), ``cov`` (..., k, k) PSD."""
+    """N(mean, cov) over R^k; ``mean`` (..., k), ``cov`` (..., k, k) PSD.
+
+    ``allow_singular`` (static): when True (default), both Cholesky and eigh
+    paths are computed and selected per-matrix — needed for the
+    Hodrick–Prescott singular Q. Set False for known-full-rank covariances
+    to skip the eigh entirely (a silent 2× cost at larger event dims)."""
 
     mean_: jax.Array
     cov: jax.Array
+    allow_singular: bool = static_field(default=True)
 
     @property
     def event_dim(self):
@@ -59,6 +65,8 @@ class MvNormal:
         """A matrix F with F Fᵀ = cov: Cholesky when it exists, else the
         eigen square root (columns v_i √w_i)."""
         L = jnp.linalg.cholesky(self.cov)
+        if not self.allow_singular:
+            return L
         chol_ok = jnp.all(jnp.isfinite(L), axis=(-2, -1), keepdims=True)
         v, w, _ = _eig_parts(self.cov)
         eig_sqrt = v * jnp.sqrt(w)[..., None, :]
@@ -75,6 +83,18 @@ class MvNormal:
 
         # full-rank path: triangular solve against the Cholesky factor
         L = jnp.linalg.cholesky(self.cov)
+        if not self.allow_singular:
+            L_inv = solve_triangular(
+                L, jnp.broadcast_to(jnp.eye(self.event_dim), L.shape), lower=True
+            )
+            z = jnp.einsum("...ij,...j->...i", L_inv, d)
+            logdet = 2.0 * jnp.sum(
+                jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1
+            )
+            return -0.5 * (
+                self.event_dim * _LOG_2PI + logdet + jnp.sum(z * z, axis=-1)
+            )
+
         chol_ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))
         L_safe = jnp.where(chol_ok[..., None, None], jnp.nan_to_num(L, nan=1.0), jnp.eye(self.event_dim))
         # invert the (tiny) factor once, then broadcast over the x batch

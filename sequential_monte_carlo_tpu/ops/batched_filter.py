@@ -45,8 +45,8 @@ def _use_fused(config: PFConfig) -> bool:
     mode = getattr(config, "fused_resample", "auto")
     if mode == "off":
         return False
-    if config.resampling not in ("systematic", "stratified", "residual"):
-        return False  # multinomial parity keeps the XLA path
+    if config.resampling not in ("systematic", "stratified", "residual_systematic"):
+        return False  # multinomial / residual(-multinomial) keep the XLA path
     if mode == "on":
         return True
     return jax.default_backend() == "tpu"
@@ -64,7 +64,7 @@ def _ucsv_full_fusion(config: PFConfig, models) -> bool:
 
     return (
         getattr(config, "fused_resample", "auto") == "max"
-        and config.resampling in ("systematic", "stratified", "residual")
+        and config.resampling in ("systematic", "stratified", "residual_systematic")
         and config.ess_threshold >= 1.0
         and isinstance(models, UCSVModel)
         and jax.default_backend() == "tpu"
@@ -84,7 +84,7 @@ def _from_planar(planar, dx=3):
 def _make_sorted_u(key, config, m, n, dtype):
     make = (
         systematic_uniforms
-        if config.resampling in ("systematic", "residual")
+        if config.resampling in ("systematic", "residual_systematic")
         else stratified_uniforms
     )
     return make(key, m, n, dtype=dtype)
@@ -143,7 +143,7 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
         if _use_fused(config):
             make_u = (
                 systematic_uniforms
-                if config.resampling in ("systematic", "residual")
+                if config.resampling in ("systematic", "residual_systematic")
                 else stratified_uniforms
             )
             u = make_u(k_res, m, n, dtype=w.dtype)

@@ -23,6 +23,7 @@ __all__ = [
     "multinomial",
     "systematic",
     "stratified",
+    "residual",
     "residual_systematic",
     "get_resampler",
     "resample",
@@ -66,18 +67,61 @@ def stratified(key, weights, n=None):
     return _inverse_cdf(u, weights)
 
 
-def residual_systematic(key, weights, n=None):
-    """Residual resampling with a systematic pass on the fractional part.
+def _counts_to_ancestors(counts, n):
+    """Sorted ancestor vector from offspring counts (Σcounts = n): index i
+    repeated counts[i] times, via cumsum + searchsorted (static shape)."""
+    cum = jnp.cumsum(counts)
+    k = jnp.arange(n, dtype=cum.dtype)
+    return jnp.searchsorted(cum, k, side="right").astype(jnp.int32)
 
-    Deterministically copies floor(n·w_i) offspring, then distributes the
-    remaining mass systematically. Static-shape formulation: the combined
-    scheme equals systematic resampling applied to the *residual-augmented*
-    CDF, implemented here as systematic on the exact CDF of n·w (which is
-    equivalent in distribution and keeps one fused kernel).
+
+def residual(key, weights, n=None):
+    """Residual (remainder-multinomial) resampling — Liu & Chen (1998).
+
+    Deterministically copies ``floor(n·w_i)`` offspring of every particle,
+    then draws the remaining ``R = n − Σ floor(n·w_i)`` offspring by
+    multinomial sampling from the fractional remainders
+    ``r_i ∝ n·w_i − floor(n·w_i)``. Unbiased, and strictly lower offspring
+    variance than plain multinomial. Static-shape formulation: n uniforms
+    are drawn and the first R (a traced count) are masked live; offspring
+    counts assemble by scatter-add and convert to a sorted ancestor vector.
+
+    Note this is NOT equivalent to :func:`systematic`: the multinomial
+    remainder can give a particle up to floor+R offspring, while systematic
+    caps every count at ceil(n·w_i). (The reference has no residual scheme
+    at all — its only resampler is multinomial, particles.jl:17-19.)
     """
-    # With a shared stride-1/n grid, systematic resampling already guarantees
-    # each particle at least floor(n·w_i) offspring, which is the residual
-    # property; expose under both names for API completeness.
+    size = weights.shape[-1]
+    n = n or size
+    w = weights / jnp.sum(weights)
+    nw = n * w
+    floor = jnp.floor(nw)
+    resid = nw - floor
+    n_det = jnp.sum(floor).astype(jnp.int32)  # Σ floor(n·w) ≤ n
+
+    # multinomial on the remainders; only the first R = n − n_det draws live
+    cdf = jnp.cumsum(resid)
+    cdf = cdf / jnp.maximum(cdf[-1], jnp.finfo(w.dtype).tiny)
+    u = jax.random.uniform(key, (n,), dtype=w.dtype)
+    draws = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, size - 1)
+    live = (jnp.arange(n) < (n - n_det)).astype(jnp.int32)
+    res_counts = jnp.zeros(size, dtype=jnp.int32).at[draws].add(live)
+
+    return _counts_to_ancestors(floor.astype(jnp.int32) + res_counts, n)
+
+
+def residual_systematic(key, weights, n=None):
+    """Residual resampling with a *systematic* pass on the fractional part.
+
+    Identical in distribution — in fact pointwise identical for the same
+    uniform — to plain :func:`systematic`. Proof: with a_i = n·w_i,
+    S_i = Σ_{j≤i} a_j and integer F_i = Σ_{j≤i} floor(a_j), the systematic
+    count is ⌊S_i − u⌋ − ⌊S_{i−1} − u⌋ = (F_i − F_{i−1}) +
+    (⌊Sr_i − u⌋ − ⌊Sr_{i−1} − u⌋) where Sr is the cumsum of the fractional
+    parts — exactly floor(a_i) deterministic copies plus a systematic pass
+    over the remainders. Kept as a named alias; for the distinct
+    remainder-multinomial scheme use ``"residual"`` (:func:`residual`).
+    """
     return systematic(key, weights, n)
 
 
@@ -114,7 +158,8 @@ _SCHEMES = {
     "multinomial": multinomial,
     "systematic": systematic,
     "stratified": stratified,
-    "residual": residual_systematic,
+    "residual": residual,
+    "residual_systematic": residual_systematic,
     "metropolis": metropolis,
 }
 

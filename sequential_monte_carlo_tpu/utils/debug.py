@@ -42,13 +42,29 @@ def check_state(state, name: str = "state"):
 
 
 def assert_finite_weights(log_w, what: str = "log-weights"):
-    """In-graph guard: error out (jax.debug) if a weight vector is fully
-    degenerate. Usable inside jit via jax.debug.check-like printing."""
-    finite = jnp.any(jnp.isfinite(log_w), axis=-1)
-    jax.debug.print(
-        "[smc-debug] {} fully degenerate rows: {}",
-        what,
-        jnp.sum(~finite),
-        ordered=False,
-    )
+    """Guard that no weight row is fully degenerate (all −inf/NaN) — raises.
+
+    Eager (outside jit): raises ``FloatingPointError`` immediately. Inside
+    jit: uses ``checkify.check``, so wrap the caller with
+    ``jax.experimental.checkify.checkify`` and raise via ``err.throw()``::
+
+        checked = checkify.checkify(step_fn)
+        err, out = jax.jit(checked)(state, y)
+        err.throw()   # raises if any weight row degenerated
+    """
+    from jax.experimental import checkify
+
+    log_w = jnp.asarray(log_w)
+    finite_rows = jnp.any(jnp.isfinite(log_w), axis=-1)
+    n_bad = jnp.sum(~finite_rows)
+    if isinstance(n_bad, jax.core.Tracer):
+        checkify.check(
+            jnp.all(finite_rows),
+            what + ": {n} fully degenerate weight row(s)",
+            n=n_bad,
+        )
+    elif int(n_bad):
+        raise FloatingPointError(
+            f"{what}: {int(n_bad)} fully degenerate weight row(s)"
+        )
     return log_w

@@ -130,3 +130,53 @@ def test_summaries_jittable(smc2_state):
         np.asarray(state_quantiles(state, jnp.asarray([0.25, 0.5, 0.75]))),
         rtol=1e-6,
     )
+
+
+# -- plotting (plotting_utils.jl:39-54,161-219; inflation_example.jl:404-423) --
+
+
+def test_plot_state_trajectory_data(tmp_path):
+    """Quantile-fan plot ≡ plot_state_trajectory (plotting_utils.jl:161-219):
+    one fill band per symmetric quantile pair, state path drawn on top."""
+    from sequential_monte_carlo_tpu.analysis.plotting import plot_state_trajectory
+
+    T, probs = 40, [0.05, 0.25, 0.75, 0.95]
+    rng = np.random.default_rng(0)
+    xs = np.cumsum(rng.normal(size=T))
+    qs = np.stack([xs - 2, xs - 1, xs + 1, xs + 2])
+    out = tmp_path / "fan.png"
+    fig = plot_state_trajectory(xs, qs, path=str(out))
+    ax = fig.axes[0]
+    # 2 fill bands (4 quantile curves) + their 4 edge lines + the state path
+    from matplotlib.collections import PolyCollection
+
+    fills = [c for c in ax.collections if isinstance(c, PolyCollection)]
+    assert len(fills) == len(probs) // 2
+    assert len(ax.lines) == len(probs) + 1
+    np.testing.assert_allclose(ax.lines[-1].get_ydata(), xs)
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_variance_ratio_data(tmp_path):
+    from sequential_monte_carlo_tpu.analysis.plotting import plot_variance_ratio
+
+    s1 = np.linspace(0, 1, 30)
+    s2 = np.linspace(1, 0, 30)
+    out = tmp_path / "ratio.png"
+    fig = plot_variance_ratio([s1, s2], labels=["trend", "cycle"], path=str(out))
+    ax = fig.axes[0]
+    assert len(ax.lines) == 2
+    np.testing.assert_allclose(ax.lines[0].get_ydata(), s1)
+    assert ax.get_legend() is not None
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_plot_histograms_smoke(tmp_path, smc2_state):
+    from sequential_monte_carlo_tpu.analysis.plotting import plot_histograms
+
+    state, _ = smc2_state
+    hists = posterior_histograms(jax.random.key(5), state, n_samples=500, bins=10)
+    out = tmp_path / "hists.png"
+    fig = plot_histograms(hists, var_names=["a", "b", "c"], path=str(out))
+    assert len(fig.axes) == 4  # 2-wide grid, last panel blanked
+    assert out.exists() and out.stat().st_size > 0

@@ -80,6 +80,28 @@ def test_truncated_normal(key):
     assert abs(float(s.mean())) < TOL
 
 
+def test_truncated_normal_variance_and_quantile():
+    """Parity with scipy.stats.truncnorm (Distributions.jl usage in the
+    README priors, README.md:82) — including asymmetric and one-sided."""
+    cases = [
+        (0.0, 1.0, -1.0, 1.0),
+        (0.5, 2.0, 0.0, 3.0),
+        (-1.0, 0.7, -jnp.inf, 0.0),
+    ]
+    ps = np.array([0.05, 0.25, 0.5, 0.9])
+    for loc, scale, low, high in cases:
+        d = TruncatedNormal(*(jnp.asarray(v) for v in (loc, scale, low, high)))
+        a = (float(low) - loc) / scale
+        b = (float(high) - loc) / scale
+        ref = stats.truncnorm(a, b, loc=loc, scale=scale)
+        assert float(d.variance()) == pytest.approx(ref.var(), rel=1e-3)
+        assert float(d.mean()) == pytest.approx(ref.mean(), rel=1e-3, abs=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(d.quantile(jnp.asarray(ps))), ref.ppf(ps),
+            rtol=1e-3, atol=1e-5,
+        )
+
+
 def test_mvnormal_full_rank(key):
     mean = jnp.asarray([1.0, -2.0])
     cov = jnp.asarray([[2.0, 0.5], [0.5, 1.0]])
@@ -105,6 +127,22 @@ def test_mvnormal_singular_cov(key):
     # density on the support subspace matches the 1-d marginal
     lp = float(d.log_prob(jnp.asarray([0.3, 0.0])))
     assert lp == pytest.approx(stats.norm.logpdf(0.3, 0, np.sqrt(0.5)), rel=1e-4)
+
+
+def test_mvnormal_allow_singular_false_matches(key):
+    """The static full-rank-only switch skips the eigh path but must agree
+    bitwise-closely with the default on full-rank covariances."""
+    mean = jnp.asarray([1.0, -2.0])
+    cov = jnp.asarray([[2.0, 0.5], [0.5, 1.0]])
+    d_auto = MvNormal(mean, cov)
+    d_fast = MvNormal(mean, cov, allow_singular=False)
+    x = jnp.asarray([[0.0, 0.0], [1.0, -2.0], [3.0, 1.0]])
+    np.testing.assert_allclose(
+        np.asarray(d_fast.log_prob(x)), np.asarray(d_auto.log_prob(x)), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(d_fast.sample(key, (8,))), np.asarray(d_auto.sample(key, (8,)))
+    )
 
 
 def test_product(key):

@@ -36,6 +36,44 @@ def test_introspection(ucsv_spec):
     assert ucsv_spec.get_states() == ("x", "sx", "sy")
 
 
+def test_free_parameter_inference():
+    """``params`` omitted → free symbols inferred by probing, in first-access
+    order (≡ extract_parameters, macros.jl:190-213); defaults excluded."""
+    spec = ssm_model(
+        "ucsv_inferred",
+        defaults=dict(x0=0.0),
+        init=lambda p: dict(
+            x=Normal(p["x0"], jnp.exp(0.5 * p["sx0"])),
+            sx=Normal(p["sx0"], p["gamma"]),
+            sy=Normal(p["sy0"], p["gamma"]),
+        ),
+        transition=lambda p, prev: dict(
+            x=Normal(prev["x"], jnp.exp(0.5 * prev["sx"])),
+            sx=Normal(prev["sx"], p["gamma"]),
+            sy=Normal(prev["sy"], p["gamma"]),
+        ),
+        observe=lambda p, s: Normal(s["x"], jnp.exp(0.5 * s["sy"])),
+    )
+    assert spec.get_states() == ("x", "sx", "sy")
+    # first-access order: x0 is a default → not free
+    assert spec.get_parameters() == ("sx0", "gamma", "sy0", "x0")
+    model = spec(jnp.asarray([-1.0, 0.2, -1.0]))
+    x, y = smc.simulate(jax.random.key(0), model, 20)
+    assert x.shape == (20, 3)
+
+
+def test_inference_observe_only_param():
+    """A parameter read only by ``observe`` is still discovered."""
+    spec = ssm_model(
+        "ar_noise",
+        init=lambda p: dict(x=Normal(0.0, 1.0)),
+        transition=lambda p, prev: dict(x=Normal(p["a"] * prev["x"], 1.0)),
+        observe=lambda p, s: Normal(s["x"], p["r"]),
+    )
+    assert spec.get_parameters() == ("a", "r")
+    assert spec.get_states() == ("x",)
+
+
 def test_wrong_theta_length(ucsv_spec):
     with pytest.raises(ValueError, match="expected 3 free parameters"):
         ucsv_spec(jnp.zeros(5))

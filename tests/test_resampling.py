@@ -60,6 +60,46 @@ def test_systematic_preserves_floor(weights):
     assert (counts >= floors[None, :]).all()
 
 
+def test_residual_preserves_floor(weights):
+    """Residual deterministically copies floor(n·w_i) offspring."""
+    counts = _offspring_counts("residual", weights, trials=50)
+    floors = np.floor(N * np.asarray(weights))
+    assert (counts >= floors[None, :]).all()
+    assert (counts.sum(axis=1) == N).all()
+
+
+def test_residual_differs_from_systematic():
+    """Residual (multinomial remainder) ≠ systematic: with w uniform over 4
+    particles and n=10, n·w = 2.5 each and R=2 remainder draws. The
+    multinomial remainder puts both draws on one particle w.p. 1/4 per trial
+    (count 4 > ceil(n·w) = 3), which systematic can never do."""
+    w = jnp.full(4, 0.25)
+    n, trials = 10, 200
+    keys = jax.random.split(jax.random.key(7), trials)
+
+    def counts(scheme):
+        fn = get_resampler(scheme)
+        anc = jax.vmap(lambda k: fn(k, w, n))(keys)
+        return np.asarray(jax.vmap(lambda a: jnp.bincount(a, length=4))(anc))
+
+    c_res = counts("residual")
+    c_sys = counts("systematic")
+    assert (c_res.sum(axis=1) == n).all() and (c_sys.sum(axis=1) == n).all()
+    assert (c_res >= 2).all() and (c_sys >= 2).all()  # floor guarantee, both
+    assert c_sys.max() == 3  # systematic caps at ceil(n·w)
+    assert c_res.max() == 4  # remainder-multinomial exceeds it w.p. 1/4/trial
+
+
+def test_residual_systematic_is_systematic(weights):
+    """The documented identity: residual + systematic remainder ≡ systematic
+    pointwise for the same key (floor-decomposition proof in the docstring)."""
+    for i in range(5):
+        k = jax.random.key(i)
+        a = get_resampler("residual_systematic")(k, weights)
+        b = get_resampler("systematic")(k, weights)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_degenerate_weight_vector():
     w = jnp.zeros(N).at[7].set(1.0)
     for scheme in ["multinomial", "systematic", "stratified"]:
