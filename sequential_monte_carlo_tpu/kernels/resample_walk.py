@@ -125,7 +125,7 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
         while m % tm:
             tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:
-        return resample_gather_bytes(u, weights, xs)
+        return resample_gather_bytes(u, weights, xs, interpret=interpret)
     c = xs.shape[1]
     c_pad = -(-c // 8) * 8
     xs_p = jnp.pad(xs, ((0, 0), (0, c_pad - c), (0, 0))) if c_pad != c else xs

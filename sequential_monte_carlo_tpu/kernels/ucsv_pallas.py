@@ -52,7 +52,7 @@ def _normals(shape):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
-                            interpret: bool = False):
+                            interpret: bool = False, tile_offset=0):
     """Fused UC-SV propagate+reweight.
 
     Args:
@@ -60,6 +60,9 @@ def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
       y: scalar observation.
       gamma_eps, gamma_eta: (M,) per-θ vol-of-vol std devs.
       x, log_se, log_sn: (M, N) planar state components.
+      tile_offset: int32 scalar added to the per-tile PRNG stream index —
+        under θ-sharding (shard_map) each shard passes its global first-tile
+        index so the sharded run draws the same randoms as the unsharded one.
     Returns:
       (x', log_se', log_sn', logw) each (M, N).
     """
@@ -76,7 +79,7 @@ def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
 
     def kernel(seed_ref, y_ref, ge_ref, gn_ref, x_ref, lse_ref, lsn_ref,
                xo_ref, lseo_ref, lsno_ref, logw_ref):
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
         x_ = x_ref[:]
         lse_ = lse_ref[:]
         lsn_ = lsn_ref[:]
@@ -97,7 +100,7 @@ def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [seed, tile_offset] (2,)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # y (1,)
             row_spec(),  # ge
             row_spec(),  # gn
@@ -109,7 +112,7 @@ def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
         out_shape=out_shape,
         interpret=interpret,
     )(
-        jnp.asarray([seed], dtype=jnp.int32),
+        jnp.stack([jnp.asarray(seed, jnp.int32), jnp.asarray(tile_offset, jnp.int32)]),
         jnp.asarray([y], dtype=x.dtype),
         ge,
         gn,

@@ -64,7 +64,8 @@ class UCSVModel:
     # Called by ops/batched_filter.py on TPU with a θ-stacked model (fields
     # shaped (M,)) and the whole (M, N, 3) cloud: propagate + reweight as one
     # VMEM-resident Pallas pass with on-chip PRNG.
-    def fused_propagate_reweight(self, seed, y, particles):
+    def fused_propagate_reweight(self, seed, y, particles, tile_offset=0,
+                                 interpret: bool = False):
         from ..kernels.ucsv_pallas import ucsv_propagate_reweight
 
         x = particles[..., 0]
@@ -74,9 +75,18 @@ class UCSVModel:
         ge = jnp.broadcast_to(self.gamma_eps, (m,))
         gn = jnp.broadcast_to(self.gamma_eta, (m,))
         xo, lseo, lsno, logw = ucsv_propagate_reweight(
-            seed, y, ge, gn, x, lse, lsn
+            seed, y, ge, gn, x, lse, lsn,
+            interpret=interpret, tile_offset=tile_offset,
         )
         return jnp.stack([xo, lseo, lsno], axis=-1), logw
+
+    @staticmethod
+    def fused_tiles(m: int) -> int:
+        """Grid tiles the fused kernel uses for an M-row block (TILE_M=8 when
+        divisible) — the sharded caller multiplies by its shard index to get
+        the global tile offset, keeping sharded PRNG streams distinct (and
+        bitwise-equal to the unsharded run when every shard is 8-divisible)."""
+        return m // 8 if m % 8 == 0 else 1
 
 
 def unobserved_components_stochastic_volatility(

@@ -41,15 +41,49 @@ class BatchedPFOut(NamedTuple):
     ess: jax.Array  # (M,)
 
 
+def _mesh_info(config: PFConfig):
+    """(mesh, theta_sharded, particle_sharded) from ``config.mesh``."""
+    mesh = getattr(config, "mesh", None)
+    if mesh is None:
+        return None, False, False
+    from ..parallel.mesh import PARTICLE_AXIS, THETA_AXIS
+
+    names = mesh.axis_names
+    t = THETA_AXIS in names and mesh.shape[THETA_AXIS] > 1
+    p = PARTICLE_AXIS in names and mesh.shape[PARTICLE_AXIS] > 1
+    return mesh, t, p
+
+
 def _use_fused(config: PFConfig) -> bool:
     mode = getattr(config, "fused_resample", "auto")
     if mode == "off":
         return False
     if config.resampling not in ("systematic", "stratified", "residual_systematic"):
         return False  # multinomial / residual(-multinomial) keep the XLA path
+    _, _, particle_sharded = _mesh_info(config)
+    if particle_sharded:
+        # a pallas_call has no partitioning rule along the particle dim —
+        # fall back to the XLA path, which GSPMD partitions correctly
+        # (cross-shard resampling rides parallel/collective.py semantics)
+        return False
     if mode == "on":
         return True
     return jax.default_backend() == "tpu"
+
+
+def _interpret_ctx():
+    """TPU-interpret-mode context off-TPU: lets the fused Pallas route
+    (incl. its shard_map composition and the on-chip-PRNG kernels) be
+    traced and executed on the virtual CPU mesh. The flag is consulted at
+    pallas_call trace time, so wrapping the call sites suffices even under
+    an outer jit."""
+    if jax.default_backend() == "tpu":
+        import contextlib
+
+        return contextlib.nullcontext()
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.force_tpu_interpret_mode()
 
 
 def _ucsv_full_fusion(config: PFConfig, models) -> bool:
@@ -68,6 +102,7 @@ def _ucsv_full_fusion(config: PFConfig, models) -> bool:
         and config.ess_threshold >= 1.0
         and isinstance(models, UCSVModel)
         and jax.default_backend() == "tpu"
+        and getattr(config, "mesh", None) is None  # opt-in path: single-chip only
     )
 
 
@@ -153,9 +188,33 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
             # the dense kernel itself for non-divisible shapes
             from ..kernels.resample_walk import resample_gather_walk
 
-            gathered = resample_gather_walk(
-                u, w, particles.transpose(0, 2, 1)
-            ).transpose(0, 2, 1)
+            mesh, theta_sharded, _ = _mesh_info(config)
+            xs_t = particles.transpose(0, 2, 1)
+            if theta_sharded:
+                # per-shard kernel inside shard_map: the uniforms are drawn
+                # globally above, so the sharded gather is bitwise-equal to
+                # the unsharded one (the kernel is deterministic in (u, w, x))
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.mesh import THETA_AXIS
+
+                with _interpret_ctx():
+                    gathered = jax.shard_map(
+                        resample_gather_walk,
+                        mesh=mesh,
+                        in_specs=(
+                            P(THETA_AXIS, None),
+                            P(THETA_AXIS, None),
+                            P(THETA_AXIS, None, None),
+                        ),
+                        out_specs=P(THETA_AXIS, None, None),
+                        check_vma=False,  # pallas_call can't annotate vma
+                    )(u, w, xs_t).transpose(0, 2, 1)
+            else:
+                with _interpret_ctx():
+                    gathered = resample_gather_walk(u, w, xs_t).transpose(
+                        0, 2, 1
+                    )
         else:
             keys = jax.random.split(k_res, m)
             anc = jax.vmap(
@@ -179,7 +238,44 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
     if fused_model:
         with jax.named_scope("pf_propagate_reweight_fused"):
             seed = jax.random.randint(k_prop, (), 0, jnp.iinfo(jnp.int32).max)
-            x_new, incr = models.fused_propagate_reweight(seed, y, xp)
+            mesh, theta_sharded, _ = _mesh_info(config)
+            if theta_sharded:
+                from jax.sharding import PartitionSpec as P
+
+                from ..parallel.mesh import THETA_AXIS
+
+                n_shards = mesh.shape[THETA_AXIS]
+                m_local = m // n_shards
+                tiles = type(models).fused_tiles(m_local)
+
+                def local_prop(models_l, xp_l, seed_, y_):
+                    # offset the kernel PRNG by the shard's global first-tile
+                    # index: streams stay distinct across shards and match
+                    # the unsharded run tile-for-tile when m_local % 8 == 0
+                    off = jax.lax.axis_index(THETA_AXIS) * tiles
+                    return models_l.fused_propagate_reweight(
+                        seed_, y_, xp_l, tile_offset=off
+                    )
+
+                with _interpret_ctx():
+                    x_new, incr = jax.shard_map(
+                        local_prop,
+                        mesh=mesh,
+                        in_specs=(
+                            P(THETA_AXIS),
+                            P(THETA_AXIS, None, None),
+                            P(),
+                            P(),
+                        ),
+                        out_specs=(
+                            P(THETA_AXIS, None, None),
+                            P(THETA_AXIS, None),
+                        ),
+                        check_vma=False,  # pallas_call can't annotate vma
+                    )(models, xp, seed, jnp.asarray(y))
+            else:
+                with _interpret_ctx():
+                    x_new, incr = models.fused_propagate_reweight(seed, y, xp)
     else:
         with jax.named_scope("pf_propagate"):
             keys_p = jax.random.split(k_prop, m)

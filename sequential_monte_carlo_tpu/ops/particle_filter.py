@@ -59,8 +59,16 @@ class PFConfig(NamedTuple):
     resampling: str = "systematic"
     ess_threshold: float = 1.0  # resample when ESS < τ·N; 1.0 ≡ reference
     # batched-filter resample+gather route: "auto" = Pallas kernel on TPU
-    # (systematic/stratified only), XLA elsewhere; "on"/"off" force it
+    # (systematic/stratified only), XLA elsewhere; "on" forces it (interpret
+    # mode off-TPU); "off" forces the XLA path
     fused_resample: str = "auto"
+    # device mesh the enclosing program is sharded over (set by the
+    # parallel.ShardedSMC2 wrapper). When the θ-axis is sharded the fused
+    # Pallas kernels run per-shard inside shard_map; when the PARTICLE axis
+    # is sharded the fused path is disabled (a pallas_call cannot span a
+    # sharded particle dimension) and the XLA path — which GSPMD partitions
+    # correctly — is used instead.
+    mesh: object = None
 
 
 class Proposal(NamedTuple):
