@@ -11,9 +11,13 @@ from .mesh import (
     shard_state,
     smc2_state_shardings,
 )
+from .launch import initialize_distributed, make_global_mesh, process_info
 from .sharded import ShardedIBIS, ShardedSMC2
 
 __all__ = [
+    "initialize_distributed",
+    "make_global_mesh",
+    "process_info",
     "THETA_AXIS",
     "PARTICLE_AXIS",
     "make_mesh",
