@@ -6,9 +6,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 ``vs_baseline`` is the speedup over the reference-faithful CPU baseline
-measured with benchmarks/baseline_numpy.py on this machine (2026-08-17,
-per-θ NumPy loop ≡ the Julia reference's structure, full T=241 run, no
-extrapolation): 435.1 s wall-clock (3.69M particle-steps/s).
+measured with benchmarks/baseline_numpy.py on this machine (per-θ NumPy
+loop ≡ the Julia reference's structure, full T=241 runs, no extrapolation):
+435.1 s at N=1024 (2026-08-17), 2109.2 s at the reference's flagship
+N=8192 (2026-08-19). See BASELINE.md.
 
 Usage: python bench.py [--m 512] [--n 1024] [--t 241]
 """
@@ -19,7 +20,11 @@ import json
 import sys
 import time
 
-BASELINE_CPU_WALLCLOCK_S = 435.1  # benchmarks/baseline_numpy.py, see above
+# benchmarks/baseline_numpy.py full-run wall-clocks, keyed by (M, N)
+BASELINE_CPU_WALLCLOCK_S = {
+    (512, 1024): 435.1,
+    (512, 8192): 2109.2,
+}
 
 
 def main():
@@ -89,11 +94,12 @@ def main():
                           "error": "non-finite ESS"}))
         sys.exit(1)
 
+    baseline = BASELINE_CPU_WALLCLOCK_S.get((args.m, args.n))
     result = {
         "metric": f"smc2_ucsv_{args.m}x{args.n}_T{args.t}_wallclock",
         "value": round(best, 4),
         "unit": "s",
-        "vs_baseline": round(BASELINE_CPU_WALLCLOCK_S / best, 2),
+        "vs_baseline": round(baseline / best, 2) if baseline else 0.0,
     }
     print(json.dumps(result))
 
