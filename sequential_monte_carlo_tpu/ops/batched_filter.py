@@ -142,22 +142,72 @@ def _ucsv_fused_call(k_res, k_prop, models, weights, planar, y, config):
     return ucsv_fused_step(seed, y, gammas, u, weights, planar)
 
 
-def batched_pf_init(key, models, n, m, y0):
-    """vmapped pf_init over the stacked model pytree."""
+def _row_normalize(logw, log_n=None):
+    """Per-row log-sum-exp normalize; returns (log_norm, lse, ess). With
+    ``log_n`` given, lse is shifted to the log-MEAN (evidence) form."""
+    maxw = jnp.max(logw, axis=-1, keepdims=True)
+    maxw = jnp.where(jnp.isfinite(maxw), maxw, 0.0)
+    lse = maxw + jnp.log(jnp.sum(jnp.exp(logw - maxw), axis=-1, keepdims=True))
+    log_norm = logw - lse
+    ess = 1.0 / jnp.sum(jnp.exp(2.0 * log_norm), axis=-1)
+    log_mean = jnp.squeeze(lse, -1)
+    if log_n is not None:
+        log_mean = log_mean - log_n
+    return log_norm, log_mean, ess
+
+
+def batched_pf_init(key, models, n, m, y0, active_n=None):
+    """vmapped pf_init over the stacked model pytree.
+
+    ``active_n`` (traced int32 scalar): live-particle count for the
+    padded-N in-graph-exchange formulation — slots ≥ active_n carry
+    log-weight −inf and the evidence normalizes by active_n, not n
+    (the static-shape form of the reference's N-doubling,
+    smc_samplers.jl:163-189)."""
     keys = jax.random.split(key, m)
-    outs = jax.vmap(lambda k, mod: pf_init(k, mod, n, y0))(keys, models)
-    return BatchedPFOut(
-        outs.state.particles, outs.state.log_weights, outs.log_mean, outs.ess
-    )
+    if active_n is None:
+        outs = jax.vmap(lambda k, mod: pf_init(k, mod, n, y0))(keys, models)
+        return BatchedPFOut(
+            outs.state.particles, outs.state.log_weights, outs.log_mean, outs.ess
+        )
+    x = jax.vmap(
+        lambda k, mod: mod.initial_distribution().sample(
+            jax.random.split(k)[0], (n,)
+        )
+    )(keys, models)
+    logw = jax.vmap(
+        lambda mod, xx: mod.observation_distribution(xx).log_prob(y0)
+    )(models, x)
+    live = jnp.arange(n) < active_n
+    logw = jnp.where(live[None, :], logw, -jnp.inf)
+    log_n = jnp.log(active_n.astype(logw.dtype))
+    log_norm, log_mean, ess = _row_normalize(logw, log_n)
+    return BatchedPFOut(x, log_norm, log_mean, ess)
 
 
-def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfig()):
-    """One filter step for all M clouds ≡ M× particles.jl:107-129 fused."""
+def _elastic_sorted_u(k_res, config, m, n, active_n, dtype):
+    """Sorted uniform grids over the LIVE prefix: u_i = (i + offset)/active_n,
+    tail entries clamped just below 1 so every output stays covered (tail
+    slots duplicate the last live ancestor; their weights are re-masked)."""
+    a_f = active_n.astype(dtype)
+    i = jnp.arange(n, dtype=dtype)[None, :]
+    if config.resampling in ("systematic", "residual_systematic"):
+        off = jax.random.uniform(k_res, (m, 1), dtype=dtype)
+    else:  # stratified
+        off = jax.random.uniform(k_res, (m, n), dtype=dtype)
+    return jnp.minimum((i + off) / a_f, jnp.asarray(1.0 - 1e-7, dtype))
+
+
+def batched_pf_step(key, models, particles, log_w, y,
+                    config: PFConfig = PFConfig(), active_n=None):
+    """One filter step for all M clouds ≡ M× particles.jl:107-129 fused.
+
+    ``active_n``: see :func:`batched_pf_init` — padded-N elastic mode."""
     m, n, dx = particles.shape
     k_res, k_prop = jax.random.split(key)
     w = jnp.exp(log_w)
 
-    if _ucsv_full_fusion(config, models):
+    if active_n is None and _ucsv_full_fusion(config, models):
         with jax.named_scope("pf_step_fully_fused"):
             planar, logw = _ucsv_fused_call(
                 k_res, k_prop, models, w, _to_planar(particles), y, config
@@ -176,12 +226,15 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
 
     with jax.named_scope("pf_resample"):
         if _use_fused(config):
-            make_u = (
-                systematic_uniforms
-                if config.resampling in ("systematic", "residual_systematic")
-                else stratified_uniforms
-            )
-            u = make_u(k_res, m, n, dtype=w.dtype)
+            if active_n is None:
+                make_u = (
+                    systematic_uniforms
+                    if config.resampling in ("systematic", "residual_systematic")
+                    else stratified_uniforms
+                )
+                u = make_u(k_res, m, n, dtype=w.dtype)
+            else:
+                u = _elastic_sorted_u(k_res, config, m, n, active_n, w.dtype)
             # monotone chunk-walk kernel: exact at any weight distribution,
             # fastest at every size (1.4 vs 1.9 ms at N=1024, 9 vs 34 ms at
             # N=8192 against the dense byte-plane kernel); falls back to
@@ -215,7 +268,7 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
                     gathered = resample_gather_walk(u, w, xs_t).transpose(
                         0, 2, 1
                     )
-        else:
+        elif active_n is None:
             keys = jax.random.split(k_res, m)
             anc = jax.vmap(
                 lambda k, ww: get_resampler(config.resampling)(k, ww)
@@ -223,16 +276,41 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
             gathered = jax.vmap(lambda x, a: jnp.take(x, a, axis=0))(
                 particles, anc
             )
+        else:
+            # elastic XLA path: uniforms over the live prefix + inverse CDF
+            # (the masked tail has zero mass, so only live slots are drawn)
+            if config.resampling == "multinomial":
+                u = jax.random.uniform(k_res, (m, n), dtype=w.dtype)
+            else:
+                u = _elastic_sorted_u(k_res, config, m, n, active_n, w.dtype)
+            cdf = jnp.cumsum(w, axis=-1)
+            cdf = cdf / cdf[..., -1:]
+            anc = jax.vmap(
+                lambda c, uu: jnp.clip(
+                    jnp.searchsorted(c, uu, side="left"), 0, n - 1
+                )
+            )(cdf, u)
+            gathered = jax.vmap(lambda x, a: jnp.take(x, a, axis=0))(
+                particles, anc
+            )
 
-        log_n = jnp.log(jnp.asarray(float(n), dtype=log_w.dtype))
+        if active_n is None:
+            log_n = jnp.log(jnp.asarray(float(n), dtype=log_w.dtype))
+            reset_lw = jnp.full_like(log_w, -log_n)
+            n_live = n
+        else:
+            log_n = jnp.log(active_n.astype(log_w.dtype))
+            live = (jnp.arange(n) < active_n)[None, :]
+            reset_lw = jnp.where(live, -log_n, -jnp.inf)
+            n_live = active_n
         if config.ess_threshold >= 1.0:
             xp = gathered
-            lw = jnp.full_like(log_w, -log_n)
+            lw = reset_lw
         else:
             ess_prev = 1.0 / jnp.sum(w * w, axis=-1)
-            do = (ess_prev < config.ess_threshold * n)[:, None]
+            do = (ess_prev < config.ess_threshold * n_live)[:, None]
             xp = jnp.where(do[..., None], gathered, particles)
-            lw = jnp.where(do, -log_n, log_w)
+            lw = jnp.where(do, reset_lw, log_w)
 
     fused_model = _use_fused(config) and hasattr(models, "fused_propagate_reweight")
     if fused_model:
@@ -288,13 +366,12 @@ def batched_pf_step(key, models, particles, log_w, y, config: PFConfig = PFConfi
             )(models, x_new)
 
     with jax.named_scope("pf_normalize"):
-        tot = lw + incr
-        maxw = jnp.max(tot, axis=-1, keepdims=True)
-        maxw = jnp.where(jnp.isfinite(maxw), maxw, 0.0)
-        lse = maxw + jnp.log(jnp.sum(jnp.exp(tot - maxw), axis=-1, keepdims=True))
-        log_norm = tot - lse
-        ess = 1.0 / jnp.sum(jnp.exp(2.0 * log_norm), axis=-1)
-    return BatchedPFOut(x_new, log_norm, jnp.squeeze(lse, -1), ess)
+        if active_n is not None:
+            # keep the dead tail at exactly −inf (guards −inf + NaN)
+            live = (jnp.arange(n) < active_n)[None, :]
+            incr = jnp.where(live, incr, 0.0)
+        log_norm, log_mean, ess = _row_normalize(lw + incr)
+    return BatchedPFOut(x_new, log_norm, log_mean, ess)
 
 
 def _ucsv_masked_ll(key, models, n, m, y, mask, config: PFConfig):
@@ -334,13 +411,14 @@ def _ucsv_masked_ll(key, models, n, m, y, mask, config: PFConfig):
 
 
 def batched_log_likelihood_masked(key, models, n, m, y, mask,
-                                  config: PFConfig = PFConfig()):
+                                  config: PFConfig = PFConfig(),
+                                  active_n=None):
     """Masked-prefix logZ for all M θ at once — the rejuvenation inner loop
     (≡ M× particles.jl:132-147 over y[1:t])."""
-    if _ucsv_full_fusion(config, models):
+    if active_n is None and _ucsv_full_fusion(config, models):
         return _ucsv_masked_ll(key, models, n, m, y, mask, config)
     k0, k_scan = jax.random.split(key)
-    init = batched_pf_init(k0, models, n, m, y[0])
+    init = batched_pf_init(k0, models, n, m, y[0], active_n)
 
     # The mask is shared across the whole batch, so the skip is a lax.cond
     # at the top of the scan body: masked-off steps execute NOTHING (unlike
@@ -352,7 +430,9 @@ def batched_log_likelihood_masked(key, models, n, m, y, mask,
 
         def live(c):
             particles, log_w, acc = c
-            out = batched_pf_step(k, models, particles, log_w, yt, config)
+            out = batched_pf_step(
+                k, models, particles, log_w, yt, config, active_n
+            )
             return (out.particles, out.log_weights, acc + out.log_mean)
 
         return jax.lax.cond(mt > 0, live, lambda c: c, carry), None
@@ -366,7 +446,10 @@ def batched_log_likelihood_masked(key, models, n, m, y, mask,
     return particles, log_w, logz
 
 
-def batched_log_likelihood(key, models, n, m, y, config: PFConfig = PFConfig()):
+def batched_log_likelihood(key, models, n, m, y, config: PFConfig = PFConfig(),
+                           active_n=None):
     """Full-sequence batched logZ (density-tempered init, exchange refilter)."""
     mask = jnp.ones_like(y)
-    return batched_log_likelihood_masked(key, models, n, m, y, mask, config)
+    return batched_log_likelihood_masked(
+        key, models, n, m, y, mask, config, active_n
+    )

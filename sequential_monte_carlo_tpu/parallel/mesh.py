@@ -56,6 +56,7 @@ def smc2_state_shardings(mesh: Mesh):
         acc_ratio=s(),
         key=s(),
         t=s(),
+        active_n=s(),
     )
 
 

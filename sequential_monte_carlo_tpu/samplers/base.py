@@ -60,13 +60,19 @@ class SMC2State:
 
     theta: jax.Array  # (M, dθ)
     log_omega: jax.Array  # (M,) unnormalized θ log-weights
-    particles: jax.Array  # (M, N, dx)
-    log_w: jax.Array  # (M, N) normalized per-θ particle log-weights
+    particles: jax.Array  # (M, N_pad, dx)
+    log_w: jax.Array  # (M, N_pad) normalized per-θ particle log-weights
     log_z: jax.Array  # (M,) running per-θ marginal-likelihood estimate
     ess: jax.Array  # scalar θ-ESS
     acc_ratio: jax.Array  # scalar: last rejuvenation acceptance rate
     key: jax.Array  # PRNG state
     t: jax.Array  # int32: number of observations assimilated
+    # int32: live state particles per θ. Equal to N_pad in the fixed-N case;
+    # with an in-graph exchange step (acc_threshold > 0) the particle arrays
+    # are padded to the doubling cap and this carries the active count —
+    # slots ≥ active_n hold log_w = -inf (the static-shape form of the
+    # reference's N-doubling, smc_samplers.jl:163-189).
+    active_n: jax.Array = None
 
     @property
     def n_theta(self) -> int:

@@ -138,6 +138,7 @@ def _dt_init(sampler: SMC2):
             acc_ratio=jnp.asarray(0.0),
             key=k_state,
             t=jnp.asarray(y.shape[0], dtype=jnp.int32),
+            active_n=jnp.asarray(cfg.n_particles, dtype=jnp.int32),
         )
 
     fn = jax.jit(impl)

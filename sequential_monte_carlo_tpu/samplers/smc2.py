@@ -75,6 +75,17 @@ class SMC2:
         self.model_fn = model_fn
         self.prior = prior
         self.config = config
+        # In-graph exchange (elastic N): with acc_threshold > 0 the particle
+        # arrays are padded once to the doubling cap (reference: N doubles
+        # while N ≤ exchange_max_n, smc_samplers.jl:166) and the live count
+        # rides ``state.active_n`` — so ``run()`` honors the exchange step
+        # inside ONE compiled scan, no host sync / recompile.
+        self._elastic = config.acc_threshold > 0.0
+        n_pad = config.n_particles
+        if self._elastic:
+            while n_pad <= config.exchange_max_n:
+                n_pad *= 2
+        self._n_pad = n_pad
         self._init_jit = jax.jit(self._init_impl)
         self._step_jit = jax.jit(self._step_impl)
         self._refilter_jit = jax.jit(self._refilter_impl)
@@ -89,7 +100,11 @@ class SMC2:
         k_theta, k_pf, k_state = jax.random.split(key, 3)
         theta = self.prior.sample(k_theta, (cfg.n_theta,))
         models = jax.vmap(self.model_fn)(theta)
-        outs = batched_pf_init(k_pf, models, cfg.n_particles, cfg.n_theta, y[0])
+        active0 = jnp.asarray(cfg.n_particles, dtype=jnp.int32)
+        outs = batched_pf_init(
+            k_pf, models, self._n_pad, cfg.n_theta, y[0],
+            active0 if self._elastic else None,
+        )
         # ≡ smc²(smc,y): ω ← logμ₀, logZ ← ω (the reference's aliasing at
         # :297 made explicit), then reweight for the ESS
         log_omega = outs.log_mean
@@ -104,6 +119,7 @@ class SMC2:
             acc_ratio=jnp.asarray(0.0),
             key=k_state,
             t=jnp.asarray(1, dtype=jnp.int32),
+            active_n=active0,
         )
 
     def init(self, key, y) -> SMC2State:
@@ -138,6 +154,7 @@ class SMC2:
         programs)."""
         cfg = self.config
         n = state.particles.shape[1]
+        active = state.active_n if self._elastic else None
         sigma = rw_kernel_cov(state.theta, cfg)
         chol = kernel_chol(sigma)
         scales = anneal_scales(cfg)
@@ -154,7 +171,7 @@ class SMC2:
             theta_safe = jnp.where(ok[:, None], theta_prop, theta)
             models = jax.vmap(self.model_fn)(theta_safe)
             new_particles, new_log_w, logz_prop = batched_log_likelihood_masked(
-                k_pf, models, n, cfg.n_theta, y, mask, cfg.inner
+                k_pf, models, n, cfg.n_theta, y, mask, cfg.inner, active
             )
 
             lp_prop = self.prior.log_prob(theta_prop)
@@ -207,10 +224,42 @@ class SMC2:
 
     # -- online step --------------------------------------------------------
 
+    def _exchange_ingraph(self, state: SMC2State, key, y, mask) -> SMC2State:
+        """≡ ``exchange!`` (smc_samplers.jl:163-189) INSIDE the compiled
+        step: if the rejuvenation acceptance rate fell below acc_threshold
+        and the live count is within the cap, double ``active_n``, re-filter
+        the consumed history at the doubled count (same padded arrays —
+        static shapes), and importance-reweight θ by new_logZ − logZ."""
+        cfg = self.config
+
+        def do(st):
+            active2 = st.active_n * 2
+            models = jax.vmap(self.model_fn)(st.theta)
+            new_p, new_lw, new_logz = batched_log_likelihood_masked(
+                key, models, self._n_pad, cfg.n_theta, y, mask,
+                cfg.inner, active2,
+            )
+            # ≡ reweight(new_logZ − logZ) (smc_samplers.jl:185-186)
+            log_omega = new_logz - st.log_z
+            return replace(
+                st,
+                particles=new_p,
+                log_w=new_lw,
+                log_z=new_logz,
+                log_omega=log_omega,
+                ess=ess_from_log_weights(log_omega),
+                active_n=active2,
+            )
+
+        trigger = (state.acc_ratio < cfg.acc_threshold) & (
+            state.active_n <= cfg.exchange_max_n
+        )  # [cannot exceed max state particles] (:187)
+        return jax.lax.cond(trigger, do, lambda s: s, state)
+
     def _step_impl(self, state: SMC2State, y):
         cfg = self.config
         T = y.shape[0]
-        key, k_resample, k_rejuv, k_prop = jax.random.split(state.key, 4)
+        key, k_resample, k_rejuv, k_exch, k_prop = jax.random.split(state.key, 5)
         state = replace(state, key=key)
 
         degenerate = state.ess < cfg.ess_min
@@ -219,7 +268,11 @@ class SMC2:
             # resample θ + rejuvenate over the consumed history y[0:t]
             st = self._resample_theta(state, k_resample)
             mask = (jnp.arange(T) < state.t).astype(y.dtype)
-            return self._rejuvenate(st, k_rejuv, y, mask, jnp.asarray(1.0))
+            st = self._rejuvenate(st, k_rejuv, y, mask, jnp.asarray(1.0))
+            if self._elastic:
+                # ≡ smc²! :320 — exchange right after rejuvenation
+                st = self._exchange_ingraph(st, k_exch, y, mask)
+            return st
 
         state = jax.lax.cond(degenerate, do_rejuv, lambda s: s, state)
 
@@ -227,7 +280,8 @@ class SMC2:
         yt = jax.lax.dynamic_index_in_dim(y, state.t, keepdims=False)
         models = jax.vmap(self.model_fn)(state.theta)
         outs = batched_pf_step(
-            k_prop, models, state.particles, state.log_w, yt, cfg.inner
+            k_prop, models, state.particles, state.log_w, yt, cfg.inner,
+            state.active_n if self._elastic else None,
         )
 
         prev_lse = jax.scipy.special.logsumexp(state.log_omega)
@@ -295,6 +349,10 @@ class SMC2:
         cfg = self.config
         if cfg.acc_threshold <= 0.0:
             return state
+        if self._elastic:
+            # with acc_threshold > 0 the exchange already runs IN-GRAPH
+            # inside step()/run() (_exchange_ingraph) — nothing to do here
+            return state
         if not bool(info.rejuvenated):
             return state
         if float(state.acc_ratio) >= cfg.acc_threshold:
@@ -306,6 +364,7 @@ class SMC2:
             state,
             particles=jnp.concatenate([state.particles] * 2, axis=1),
             log_w=jnp.concatenate([state.log_w] * 2, axis=1),
+            active_n=jnp.asarray(2 * n, dtype=jnp.int32),
         )
         return self._refilter_jit(doubled, jnp.asarray(y))
 

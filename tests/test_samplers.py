@@ -145,7 +145,10 @@ def test_rejuvenation_resets_weights_and_reports_acceptance(lg_setup):
 
 
 def test_exchange_doubles_n(lg_setup):
-    """exchange! ≡ smc_samplers.jl:163-189: acc below threshold → N doubles."""
+    """exchange! ≡ smc_samplers.jl:163-189, IN-GRAPH: acc below threshold →
+    the live particle count doubles inside the compiled step. Arrays are
+    padded once to the doubling cap; ``state.active_n`` carries the live
+    count and the dead tail stays at log-weight −inf."""
     prior, y = lg_setup
     cfg = smc.SMCConfig(
         n_particles=64, n_theta=64, chain=2, ess_threshold=0.5,
@@ -154,13 +157,34 @@ def test_exchange_doubles_n(lg_setup):
     )
     sampler = smc.SMC2(smc.lg_model, prior, cfg)
     state = sampler.init(jax.random.key(11), y)
+    assert state.particles.shape[1] == 256  # padded to the doubling cap
+    assert int(state.active_n) == 64
     sizes = {64}
     for _ in range(1, 30):
         state, info = sampler.step(state, y)
-        state = sampler.maybe_exchange(state, y, info)
-        sizes.add(state.particles.shape[1])
+        sizes.add(int(state.active_n))
     assert 128 in sizes  # doubled at least once
     assert max(sizes) <= 256  # respects the cap (≤128 before doubling)
+    # the inactive tail is exactly dead weight
+    lw = np.asarray(state.log_w)
+    assert (lw[:, int(state.active_n):] == -np.inf).all()
+    assert np.isfinite(lw[:, : int(state.active_n)]).all()
+
+
+def test_exchange_inside_fused_run(lg_setup):
+    """Acceptance collapse doubles active_n inside ONE compiled lax.scan —
+    run() honors acc_threshold with zero host sync (VERDICT r1 #5)."""
+    prior, y = lg_setup
+    cfg = smc.SMCConfig(
+        n_particles=64, n_theta=64, chain=2, ess_threshold=0.5,
+        acc_threshold=1.1, exchange_max_n=128,
+    )
+    sampler = smc.SMC2(smc.lg_model, prior, cfg)
+    state, infos = sampler.run(jax.random.key(11), y)
+    assert int(state.active_n) > 64  # doubled within the scan
+    assert int(state.active_n) <= 256
+    assert np.isfinite(float(state.ess))
+    assert np.isfinite(np.asarray(infos.log_evidence_incr)).all()
 
 
 def test_evidence_accumulation(lg_setup):
