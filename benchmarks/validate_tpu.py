@@ -1,0 +1,177 @@
+"""On-chip validation + timing of the fused UC-SV walk kernel.
+
+The pieces interpret mode cannot check (jax's TPU-interpret
+``prng_random_bits`` is a zeros stub): draw statistics of the propagate
+stage, plus bitwise gather equality and per-call timing vs the two-kernel
+route (resample_gather_walk + ucsv_propagate_reweight) on real hardware.
+
+  python benchmarks/validate_tpu.py [--n 8192] [--iters 50]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sequential_monte_carlo_tpu.kernels.resample_pallas import (
+    systematic_uniforms,
+)
+from sequential_monte_carlo_tpu.kernels.resample_walk import (
+    resample_gather_walk,
+)
+from sequential_monte_carlo_tpu.kernels.ucsv_pallas import (
+    ucsv_propagate_reweight,
+)
+from sequential_monte_carlo_tpu.kernels.ucsv_walk_pallas import ucsv_walk_step
+
+
+def _inverse_cdf(u, w):
+    cdf = jnp.cumsum(w)
+    cdf = cdf / cdf[-1]
+    return jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, w.shape[0] - 1)
+
+
+def validate(m, n):
+    w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (m, n)) * 2)
+    planar = jnp.pad(
+        jax.random.normal(jax.random.key(1), (m, 3, n)), ((0, 0), (0, 5), (0, 0))
+    ).astype(jnp.float32)
+    u = systematic_uniforms(jax.random.key(2), m, n)
+
+    # γ=0: rows 1,2 are the pure gather — bitwise vs searchsorted+take
+    gam0 = jnp.zeros((m, 2), jnp.float32)
+    out, logw = ucsv_walk_step(7, 1.3, gam0, u, w, planar)
+    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    ref = jax.vmap(lambda x, a: x[:, a])(planar, anc)
+    ok_gather = bool(jnp.all(out[:, 1:3] == ref[:, 1:3]))
+
+    # trend-increment statistics: (x' − x_anc)·exp(−½ logσε_anc) ≈ N(0,1)
+    z = np.asarray((out[:, 0] - ref[:, 0]) * jnp.exp(-0.5 * ref[:, 1]))
+    ok_stats = abs(z.mean()) < 0.05 and abs(z.std() - 1.0) < 0.05
+
+    # logw is the N(x', exp(½ logσn'))-density of y — deterministic
+    x, lsn = out[:, 0], out[:, 2]
+    zz = (1.3 - x) * jnp.exp(-0.5 * lsn)
+    expect = -0.5 * zz * zz - 0.5 * lsn - 0.5 * np.log(2 * np.pi)
+    ok_logw = bool(jnp.allclose(logw, expect, rtol=1e-5, atol=1e-5))
+
+    print(f"validate (M={m}, N={n}): gather_bitwise={ok_gather} "
+          f"stats(mean={z.mean():+.4f}, std={z.std():.4f})={ok_stats} "
+          f"logw={ok_logw}", flush=True)
+    return ok_gather and ok_stats and ok_logw
+
+
+def time_fused(m, n, iters):
+    planar = jnp.pad(
+        jax.random.normal(jax.random.key(1), (m, 3, n)), ((0, 0), (0, 5), (0, 0))
+    ).astype(jnp.float32)
+    logw0 = jnp.zeros((m, n), jnp.float32)
+    gam = jnp.full((m, 2), 0.2, jnp.float32)
+
+    @jax.jit
+    def chain(key, planar, logw):
+        def body(carry, inp):
+            planar, logw = carry
+            k, seed = inp
+            u = systematic_uniforms(k, m, n, dtype=jnp.float32)
+            w = jnp.exp(logw - jax.scipy.special.logsumexp(logw, axis=-1,
+                                                           keepdims=True))
+            planar, lw = ucsv_walk_step(seed, 1.3, gam, u, w, planar)
+            return (planar, lw), None
+
+        keys = jax.random.split(key, iters)
+        seeds = jnp.arange(iters, dtype=jnp.int32)
+        (planar, logw), _ = jax.lax.scan(body, (planar, logw), (keys, seeds))
+        return planar, logw
+
+    def run_once(k):
+        out = chain(k, planar, logw0)
+        # host fetch: block_until_ready does not reliably block over the
+        # axon tunnel (PERF_NOTES.md) — a value fetch does
+        return float(jnp.sum(out[1][0, :8]))
+
+    run_once(jax.random.key(3))
+    t0 = time.perf_counter()
+    run_once(jax.random.key(4))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def time_two_kernel(m, n, iters):
+    planar = jnp.pad(
+        jax.random.normal(jax.random.key(1), (m, 3, n)), ((0, 0), (0, 5), (0, 0))
+    ).astype(jnp.float32)
+    logw0 = jnp.zeros((m, n), jnp.float32)
+    gam = jnp.full((m,), 0.2, jnp.float32)
+
+    @jax.jit
+    def chain(key, planar, logw):
+        def body(carry, inp):
+            planar, logw = carry
+            k, seed = inp
+            u = systematic_uniforms(k, m, n, dtype=jnp.float32)
+            w = jnp.exp(logw - jax.scipy.special.logsumexp(logw, axis=-1,
+                                                           keepdims=True))
+            g = resample_gather_walk(u, w, planar)
+            x, lse, lsn, lw = ucsv_propagate_reweight(
+                seed, 1.3, gam, gam, g[:, 0], g[:, 1], g[:, 2]
+            )
+            planar = jnp.concatenate(
+                [x[:, None], lse[:, None], lsn[:, None],
+                 jnp.zeros((m, 5, n), jnp.float32)], axis=1
+            )
+            return (planar, lw), None
+
+        keys = jax.random.split(key, iters)
+        seeds = jnp.arange(iters, dtype=jnp.int32)
+        (planar, logw), _ = jax.lax.scan(body, (planar, logw), (keys, seeds))
+        return planar, logw
+
+    def run_once(k):
+        out = chain(k, planar, logw0)
+        # host fetch: block_until_ready does not reliably block over the
+        # axon tunnel (PERF_NOTES.md) — a value fetch does
+        return float(jnp.sum(out[1][0, :8]))
+
+    run_once(jax.random.key(3))
+    t0 = time.perf_counter()
+    run_once(jax.random.key(4))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--m", type=int, default=512)
+    p.add_argument("--n", type=int, default=8192)
+    p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--skip-validate", action="store_true")
+    args = p.parse_args()
+
+    if not args.skip_validate:
+        ok = validate(16, 2048)
+        if not ok:
+            raise SystemExit("validation FAILED")
+
+    ms_fused = time_fused(args.m, args.n, args.iters)
+    ms_two = time_two_kernel(args.m, args.n, args.iters)
+    print(f"(M={args.m}, N={args.n}) fused walk+propagate: {ms_fused:.3f} "
+          f"ms/step vs two-kernel {ms_two:.3f} ms/step", flush=True)
+
+
+if __name__ == "__main__":
+    main()

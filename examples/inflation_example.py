@@ -101,7 +101,14 @@ def run_online(name, model_fn, prior, y, n, m, chain, outdir):
         }
 
     t0 = time.time()
-    state, (infos, series) = sampler.run(jax.random.key(1998), y, collect_fn=collect)
+    # segmented dispatch (bitwise ≡ run()): the real series is rejuvenation-
+    # heavy (79 triggers at reference size vs ~12 on tame synthetic data),
+    # and one whole-sequence execution at N=8192 exceeds the remote-device
+    # execute deadline — 16-step segments keep every dispatch bounded while
+    # the carry stays on device.
+    state, (infos, series) = sampler.run_segmented(
+        jax.random.key(1998), y, segment_size=16, collect_fn=collect
+    )
     jax.block_until_ready(state)
     dt = time.time() - t0
     theta_hat = np.asarray(smc.expected_parameters(state))

@@ -59,29 +59,44 @@ def _kernel(ks_ref, ke_ref, u_ref, cdfs_ref, cdfps_ref, xb_ref, out_ref):
         u_t = u_ref[:, 0, pl.ds(t * ot, ot)]  # (TM, OT)
         ks = ks_ref[g * n_tiles + t]
         ke = ke_ref[g * n_tiles + t]
+        n_ch = cdfs_ref.shape[2]
 
-        def chunk_body(k, acc):
+        def extract(ref, k):
             # chunk k = lane k of the transposed CDF; Mosaic only allows
             # 128-multiple dynamic lane offsets, so extract the width-1
             # column by one-hot multiply + lane reduction instead
-            n_ch = cdfs_ref.shape[2]
             sel = (
                 jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_ch), 2) == k
             ).astype(jnp.float32)
-            lo = jnp.sum(cdfps_ref[...] * sel, axis=2, keepdims=True)
-            hi = jnp.sum(cdfs_ref[...] * sel, axis=2, keepdims=True)
-            wt = (
-                (u_t[:, None, :] > lo) & (u_t[:, None, :] <= hi)
-            ).astype(jnp.int8)  # (TM, CW, OT)
-            return acc + jax.lax.dot_general(
+            return jnp.sum(ref[...] * sel, axis=2, keepdims=True)
+
+        # the band mask (u > cdf[j-1]) & (u ≤ cdf[j]) needs only ONE compare
+        # per chunk: with c_j = (u ≤ cdf[j]) int8 and cdf monotone,
+        # c_{j-1} ≤ c_j elementwise, so the mask is c_j XOR c_{j-1}
+        # (≡ c_j − c_{j-1} for 0/1; Mosaic legalizes xori but not subi on
+        # int8 vectors), where the j−1 term is c shifted one particle down
+        # the sublane axis with a carry row crossing chunk boundaries
+        # (chunks walk contiguously). Halves both the compare volume and
+        # the one-hot extractions vs the two-sided form.
+        def chunk_body(k, state):
+            acc, c_prev = state
+            hi = extract(cdfs_ref, k)
+            c = (u_t[:, None, :] <= hi).astype(jnp.int8)  # (TM, CW, OT)
+            c_shift = jnp.concatenate([c_prev, c[:, :-1, :]], axis=1)
+            acc = acc + jax.lax.dot_general(
                 xb_ref[:, :, pl.ds(k * cw, cw)],  # (TM, 4C, CW) int8
-                wt,
+                jnp.bitwise_xor(c, c_shift),
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
             )
+            return acc, c[:, cw - 1 : cw, :]
 
         acc = jnp.zeros((tm, c4, ot), jnp.int32)
-        acc = jax.lax.fori_loop(ks, ke, chunk_body, acc)
+        # carry-in for the first chunk: c_{-1} = (u ≤ cdf_prev[ks·CW]) —
+        # one extraction of the transposed prev-CDF's first sublane row
+        lo0 = extract(cdfps_ref, ks)[:, 0:1, :]
+        c0 = (u_t[:, None, :] <= lo0).astype(jnp.int8)
+        acc, _ = jax.lax.fori_loop(ks, ke, chunk_body, (acc, c0))
 
         c = c4 // 4
         b0 = acc[:, 0 * c : 1 * c, :] & 0xFF
@@ -117,13 +132,19 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     semantics as ``resample_gather`` / ``resample_gather_bytes``.
     """
     m, n = u.shape
+    if tm is None and n >= 4096:
+        # swept on v5e (2026-08-19, host-fetch-synced, xor-mask kernel): at
+        # N=8192 (tm=4, ot=256, cw=128) = 8.49 ms is best; ot=512 within 1%,
+        # ot=128 loses (13 ms), ot≥1024 loses, cw=256 loses at every ot,
+        # tm=8 ≈ +1%
+        tm = 4
     if tm is None:
-        # swept on v5e (2026-08-18): tm=8, ot=256, cw=128 is at or within 3%
-        # of best from N=1024 (1.25 ms) to N=8192 (6.8 ms); larger cw loses
-        # (chunk-coverage overshoot), tm=16 fails to compile at large N
+        # small-N default (swept 2026-08-18): tm=8, ot=256, cw=128 is at or
+        # within 3% of best at N=1024 (1.25 ms); tm=16 fails to compile at
+        # large N (VMEM)
         tm = 8
-        while m % tm:
-            tm -= 1
+    while m % tm:
+        tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:
         return resample_gather_bytes(u, weights, xs, interpret=interpret)
     c = xs.shape[1]

@@ -86,23 +86,27 @@ def _interpret_ctx():
     return pltpu.force_tpu_interpret_mode()
 
 
-def _ucsv_full_fusion(config: PFConfig, models) -> bool:
-    """The single-mega-kernel UC-SV step (kernels/ucsv_step_pallas.py).
-
-    Opt-in via ``fused_resample="max"`` only: measured on v5e it is slightly
-    slower (3.6 vs 2.7 ms/step at (512,1024)) than the default two-kernel
-    route (resample_pallas + the model's fused_propagate_reweight hook) —
-    the last-tile propagate runs on 1/8 of the sublanes and serializes the
-    output write. Kept as the starting point for a pipelined rewrite."""
+def _ucsv_full_fusion(config: PFConfig, models, n: int) -> bool:
+    """The single-kernel UC-SV step (kernels/ucsv_walk_pallas.py): chunk-walk
+    resample + propagate + reweight fused, per-tile pipelined — the rewrite
+    of round 1's ``ucsv_step_pallas`` mega-kernel (which propagated only on
+    the last grid step and was deleted). Still opt-in ("max"): with best
+    tilings on v5e the two-kernel route wins at every size (9.96 vs 10.38
+    ms/step at 512×8192, 1.26 vs 1.50 at 512×1024) — the planar layout
+    forces the in-kernel propagate onto 1/8 of the sublanes, which costs
+    more than the saved kernel launch + HBM round trip. Kept because its
+    planar-carry masked-LL scan is transpose-free and the measured gap is
+    small; see PERF_NOTES.md round-2 section."""
     from ..models.ucsv import UCSVModel
 
     return (
-        getattr(config, "fused_resample", "auto") == "max"
+        n % 256 == 0
+        and getattr(config, "fused_resample", "auto") == "max"
         and config.resampling in ("systematic", "stratified", "residual_systematic")
         and config.ess_threshold >= 1.0
         and isinstance(models, UCSVModel)
-        and jax.default_backend() == "tpu"
-        and getattr(config, "mesh", None) is None  # opt-in path: single-chip only
+        and jax.default_backend() == "tpu"  # interpret PRNG is a zeros stub
+        and getattr(config, "mesh", None) is None  # single-chip only
     )
 
 
@@ -127,7 +131,7 @@ def _make_sorted_u(key, config, m, n, dtype):
 
 def _ucsv_fused_call(k_res, k_prop, models, weights, planar, y, config):
     """One fused UC-SV kernel step on a planar cloud; returns (planar', logw)."""
-    from ..kernels.ucsv_step_pallas import ucsv_fused_step
+    from ..kernels.ucsv_walk_pallas import ucsv_walk_step
 
     m, n = weights.shape
     u = _make_sorted_u(k_res, config, m, n, weights.dtype)
@@ -139,7 +143,7 @@ def _ucsv_fused_call(k_res, k_prop, models, weights, planar, y, config):
         ],
         axis=-1,
     )
-    return ucsv_fused_step(seed, y, gammas, u, weights, planar)
+    return ucsv_walk_step(seed, y, gammas, u, weights, planar)
 
 
 def _row_normalize(logw, log_n=None):
@@ -207,7 +211,7 @@ def batched_pf_step(key, models, particles, log_w, y,
     k_res, k_prop = jax.random.split(key)
     w = jnp.exp(log_w)
 
-    if active_n is None and _ucsv_full_fusion(config, models):
+    if active_n is None and _ucsv_full_fusion(config, models, n):
         with jax.named_scope("pf_step_fully_fused"):
             planar, logw = _ucsv_fused_call(
                 k_res, k_prop, models, w, _to_planar(particles), y, config
@@ -415,7 +419,7 @@ def batched_log_likelihood_masked(key, models, n, m, y, mask,
                                   active_n=None):
     """Masked-prefix logZ for all M θ at once — the rejuvenation inner loop
     (≡ M× particles.jl:132-147 over y[1:t])."""
-    if active_n is None and _ucsv_full_fusion(config, models):
+    if active_n is None and _ucsv_full_fusion(config, models, n):
         return _ucsv_masked_ll(key, models, n, m, y, mask, config)
     k0, k_scan = jax.random.split(key)
     init = batched_pf_init(k0, models, n, m, y[0], active_n)

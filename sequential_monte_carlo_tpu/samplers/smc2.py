@@ -396,3 +396,65 @@ class SMC2:
                 run = jax.jit(partial(self._run_impl, collect_fn=collect_fn))
                 self._run_collect_cache[collect_fn] = run
         return run(key, jnp.asarray(y))
+
+    # -- segmented run (bounded per-dispatch execution time) -----------------
+
+    def _segment_impl(self, state, y, *, seg: int, collect_fn=None):
+        T = y.shape[0]
+
+        def scan_step(st, _):
+            def live(st):
+                return self._step_impl(st, y)
+
+            def dead(st):
+                # past the end of the series (tail padding of the last
+                # segment): state unchanged, a no-op info record
+                return st, StepInfo(
+                    ess=st.ess,
+                    rejuvenated=jnp.asarray(False),
+                    acc_ratio=st.acc_ratio,
+                    log_evidence_incr=jnp.zeros_like(st.ess),
+                )
+
+            st, info = jax.lax.cond(st.t < T, live, dead, st)
+            out = (info, collect_fn(st)) if collect_fn else info
+            return st, out
+
+        return jax.lax.scan(scan_step, state, None, length=seg)
+
+    def run_segmented(self, key, y, segment_size: int = 24,
+                      collect_fn: Optional[Callable] = None):
+        """``run()`` dispatched in fixed-size scan segments.
+
+        Identical math and keys to :meth:`run` (the per-step key chain rides
+        ``state.key``), but each device execution covers only
+        ``segment_size`` online steps, with the carry staying on-device
+        between dispatches (no host round trip). Use when a single
+        whole-sequence execution would be too long for the runtime — e.g.
+        rejuvenation-heavy datasets at flagship size over the remote-device
+        tunnel, where one fused T=241 N=8192 run can exceed the execute-RPC
+        deadline (measured: the real-data UC-SV run triggers 79
+        rejuvenations vs 12 on a tame synthetic series — ~8× the compute of
+        the bench workload — and the single-dispatch form dies with
+        UNAVAILABLE while segmented runs complete).
+
+        Returns the same ``(state, infos)`` / ``(state, (infos, series))``
+        as :meth:`run`, trimmed to T−1 steps.
+        """
+        y = jnp.asarray(y)
+        T = int(y.shape[0])
+        seg = max(1, min(segment_size, T - 1))
+        cache_key = ("seg", seg, collect_fn)
+        seg_fn = self._run_collect_cache.get(cache_key)
+        if seg_fn is None:
+            seg_fn = jax.jit(
+                partial(self._segment_impl, seg=seg, collect_fn=collect_fn)
+            )
+            self._run_collect_cache[cache_key] = seg_fn
+        state = self._init_jit(key, y)
+        chunks = []
+        for _ in range(-(-(T - 1) // seg)):
+            state, out = seg_fn(state, y)
+            chunks.append(out)
+        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs)[: T - 1], *chunks)
+        return state, outs

@@ -222,3 +222,60 @@ def test_resample_gather_walk_non_divisible_falls_back():
     anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
     ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
     assert bool(jnp.all(out == ref))
+
+
+# ---- fused walk+propagate UC-SV kernel (interpret mode) --------------------
+
+def _ucsv_walk_setup(M=2, N=1024, gamma=(0.0, 0.0), seed=7):
+    from sequential_monte_carlo_tpu.kernels.ucsv_walk_pallas import (
+        ucsv_walk_step,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (M, N)) * 2)
+    planar = jnp.pad(
+        jax.random.normal(jax.random.key(1), (M, 3, N)), ((0, 0), (0, 5), (0, 0))
+    ).astype(jnp.float32)
+    u = systematic_uniforms(jax.random.key(2), M, N)
+    gammas = jnp.broadcast_to(jnp.asarray(gamma, jnp.float32), (M, 2))
+    with pltpu.force_tpu_interpret_mode():
+        out, logw = ucsv_walk_step(seed, 1.3, gammas, u, w, planar, tm=2)
+    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    ref = jax.vmap(lambda x, a: x[:, a])(planar, anc)
+    return out, logw, ref
+
+
+def test_ucsv_walk_step_gather_bitwise():
+    """γ=0 freezes the log-vol rows ⇒ rows 1,2 are the pure walk-gather —
+    bitwise-equal to searchsorted+take; rows 3..7 stay zero-padded."""
+    out, logw, ref = _ucsv_walk_setup(gamma=(0.0, 0.0))
+    assert bool(jnp.all(out[:, 1:3] == ref[:, 1:3]))
+    assert bool(jnp.all(out[:, 3:] == ref[:, 3:]))
+
+
+def test_ucsv_walk_step_logw_consistent():
+    """logw must equal the N(x', exp(½ logσn'))-density of y at the
+    returned state — deterministic given the outputs."""
+    import math
+
+    out, logw, _ = _ucsv_walk_setup(gamma=(0.3, 0.2))
+    x, lsn = out[:, 0], out[:, 2]
+    zz = (1.3 - x) * jnp.exp(-0.5 * lsn)
+    expect = -0.5 * zz * zz - 0.5 * lsn - 0.5 * math.log(2 * math.pi)
+    np.testing.assert_allclose(np.asarray(logw), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="interpret-mode prng_random_bits is a zeros stub in jax "
+    "(mosaic/interpret/interpret_pallas_call.py: 'TODO: Implement this "
+    "properly?') — the draw statistics are only real on hardware; "
+    "benchmarks/validate_tpu.py runs this check on the chip",
+)
+def test_ucsv_walk_step_trend_increment_statistics():
+    """x' − x_gathered scaled by exp(−½ logσε_gathered) ≈ N(0, 1)."""
+    out, _, ref = _ucsv_walk_setup(M=2, N=2048, gamma=(0.0, 0.0))
+    z = np.asarray((out[:, 0] - ref[:, 0]) * jnp.exp(-0.5 * ref[:, 1]))
+    assert abs(z.mean()) < 0.05
+    assert abs(z.std() - 1.0) < 0.05

@@ -205,3 +205,34 @@ def test_evidence_accumulation(lg_setup):
     )
     total = init_evidence + float(np.asarray(infos.log_evidence_incr).sum())
     assert abs(total - log_ml) < 2.0, (total, log_ml)
+
+
+def test_smc2_segmented_equals_fused_run(lg_setup):
+    """run_segmented dispatches the same scan in chunks — same keys, same
+    math ⇒ bitwise-identical final state and infos to run()."""
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    s_full, i_full = sampler.run(jax.random.key(11), y)
+    s_seg, i_seg = sampler.run_segmented(jax.random.key(11), y, segment_size=17)
+    assert bool(jnp.all(s_full.theta == s_seg.theta))
+    assert bool(jnp.all(s_full.log_omega == s_seg.log_omega))
+    assert bool(jnp.all(s_full.particles == s_seg.particles))
+    assert float(s_full.ess) == float(s_seg.ess)
+    np.testing.assert_array_equal(np.asarray(i_full.ess), np.asarray(i_seg.ess))
+    np.testing.assert_array_equal(
+        np.asarray(i_full.rejuvenated), np.asarray(i_seg.rejuvenated)
+    )
+
+
+def test_smc2_segmented_with_collect(lg_setup):
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    collect = lambda s: {"mean": smc.expected_parameters(s)}
+    s_full, (i_full, c_full) = sampler.run(jax.random.key(12), y, collect_fn=collect)
+    s_seg, (i_seg, c_seg) = sampler.run_segmented(
+        jax.random.key(12), y, segment_size=10, collect_fn=collect
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_full["mean"]), np.asarray(c_seg["mean"])
+    )
+    assert c_seg["mean"].shape == (y.shape[0] - 1, 3)
