@@ -1,38 +1,53 @@
 """Pallas TPU kernel: monotone chunk-walk fused resample + gather.
 
-Third-generation resample kernel (after ``resample_pallas.resample_gather``
-/ ``resample_gather_bytes`` — dense N² selection — and
-``resample_banded.resample_gather_banded`` — windowed, with fallback).
-Replaces both at every size. Reference semantics: the ancestor-gather of
-particles.jl:117-119 for sorted uniforms, bitwise-equal to
-searchsorted(side="left") + take.
+Fourth-generation resample kernel (after ``resample_pallas.resample_gather``
+/ ``resample_gather_bytes`` — dense N² selection — ``resample_banded`` —
+windowed, with fallback — and the lane-transposed third-gen walk).
+Replaces all of them at every size. Reference semantics: the
+ancestor-gather of particles.jl:117-119 for sorted uniforms, bitwise-equal
+to searchsorted(side="left") + take.
 
-Why the previous kernels plateaued (measured, v5e, M=512 N=8192):
-dense-bytes ≈ 58 ms is VPU-bound on the N² compare-mask build; banded cut
-the compares 8× but measured ≈ 56 ms anyway — its (θ-group, output-tile)
-grid runs 4096 steps of ~13 µs dominated by per-step windowed DMAs, and its
-sublane-major ``(tm, win, 1)`` CDF blocks pad the lane axis 128×, while the
-host-side per-tile ``searchsorted`` prep cost another ~30 ms.
+Kernel evolution (measured at M=512, N=8192, v5e; PERF_NOTES.md):
+dense-bytes ≈ 58 ms (VPU-bound N² mask build) → banded ≈ 56 ms (per-step
+windowed-DMA latency + host searchsorted prep) → v3 walk 8.5 ms → this
+"free-slice" walk **6.6 ms**. v3 kept the CDF lane-transposed
+``(TM, CW, N/CW)`` so a chunk was a width-1 lane column, but extracting it
+cost a full one-hot sweep per chunk visit, and its xor band mask needed
+sublane shift/concat carry bookkeeping — together ~2/3 of per-visit cost.
 
-This kernel exploits the same sortedness globally instead of per-tile:
+This generation removes both:
 
   * the grid is just ``(M/TM,)`` — each step holds TM whole rows in VMEM
-    (cloud byte-planes, CDF, uniforms, output; ~1.3 MB/row at N=8192);
+    (cloud byte-planes, CDF, output; ~1.3 MB/row at N=8192);
+  * ``cdf`` / ``cdf_prev`` ride FLAT on lanes; chunk k is a free dynamic
+    lane slice at a provably 128-multiple offset (``pl.ds(k*CW, CW)``) —
+    zero extraction cost (Mosaic allows 128-multiple dynamic lane offsets,
+    and CW is a 128-multiple);
+  * ``u`` rides host-transposed as (M, OT, n_tiles): a tile's uniforms
+    land on SUBLANES, extracted once per tile by a one-hot over the
+    n_tiles lane axis (amortized over the tile's chunk visits);
+  * the band mask is two broadcast compares (u > cdf_prev) & (u ≤ cdf)
+    oriented (TM, OT, CW) — no carry, no shift, no concat;
   * ancestors of consecutive output tiles are non-decreasing, so one
     monotone pointer walks the CDF in CW-wide chunks as an inner
     ``fori_loop`` over output tiles with per-tile dynamic chunk bounds
-    (scalar-prefetched; computed host-side by a vectorized compare-sum —
-    no ``searchsorted``, no binary-search gathers);
-  * per (tile, chunk): a (TM, CW, OT) int8 one-hot mask + one int8 MXU
-    matmul against the byte-plane cloud (bitwise-exact f32 reassembly,
-    same trick as ``resample_gather_bytes``);
-  * the CDF rides in a lane-transposed (TM, CW, N/CW) layout so a chunk is
-    one width-1 lane slice — sublane-major without the 128× lane padding.
+    (scalar-prefetched; computed host-side by a vectorized compare-sum);
+  * per (tile, chunk): one int8 MXU matmul contracting both operands'
+    LANE dims (NT layout): (TM, 4C, CW) · (TM, OT, CW) → (TM, 4C, OT)
+    against the byte-plane cloud (bitwise-exact f32 reassembly, same
+    trick as ``resample_gather_bytes``).
 
 Total mask/matmul work per row is bounded by (N/CW + N/OT + spread) · CW·OT
 ≈ 2·N·OT — independent of the weight distribution (the pointer only moves
 forward), so there is NO fallback path and NO coverage predicate: the
 kernel is exact for any weights, including fully degenerate ones.
+
+Rejected follow-ups (measured, PERF_NOTES.md): a telescoping
+Abel-summation mask (one compare/chunk but 2× MXU traffic — slower), an
+in-kernel ``tpu.dynamic_gather`` of walked indices (Mosaic's gather cannot
+span >128 lanes), and in-kernel systematic-uniform generation from the
+scalar u0 (the (1, OT, 1) sublane-thin f32 arithmetic costs more than the
+one-hot tile extraction it replaces).
 """
 from __future__ import annotations
 
@@ -46,57 +61,35 @@ from jax.experimental.pallas import tpu as pltpu
 from .resample_pallas import _to_byte_planes, resample_gather_bytes
 
 
-def _kernel(ks_ref, ke_ref, u_ref, cdfs_ref, cdfps_ref, xb_ref, out_ref):
-    tm = u_ref.shape[0]
-    n = u_ref.shape[2]
-    cw = cdfs_ref.shape[1]
+def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xb_ref, out_ref,
+            *, cw: int):
+    tm, ot, n_tiles = ut_ref.shape
     c4 = xb_ref.shape[1]
-    n_tiles = ks_ref.shape[0] // pl.num_programs(0)
-    ot = n // n_tiles
     g = pl.program_id(0)
 
     def tile_body(t, _):
-        u_t = u_ref[:, 0, pl.ds(t * ot, ot)]  # (TM, OT)
+        # tile's uniforms on sublanes: one-hot over the n_tiles lane axis
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_tiles), 2) == t
+        ).astype(jnp.float32)
+        u_t = jnp.sum(ut_ref[...] * sel, axis=2, keepdims=True)  # (TM, OT, 1)
         ks = ks_ref[g * n_tiles + t]
         ke = ke_ref[g * n_tiles + t]
-        n_ch = cdfs_ref.shape[2]
 
-        def extract(ref, k):
-            # chunk k = lane k of the transposed CDF; Mosaic only allows
-            # 128-multiple dynamic lane offsets, so extract the width-1
-            # column by one-hot multiply + lane reduction instead
-            sel = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_ch), 2) == k
-            ).astype(jnp.float32)
-            return jnp.sum(ref[...] * sel, axis=2, keepdims=True)
-
-        # the band mask (u > cdf[j-1]) & (u ≤ cdf[j]) needs only ONE compare
-        # per chunk: with c_j = (u ≤ cdf[j]) int8 and cdf monotone,
-        # c_{j-1} ≤ c_j elementwise, so the mask is c_j XOR c_{j-1}
-        # (≡ c_j − c_{j-1} for 0/1; Mosaic legalizes xori but not subi on
-        # int8 vectors), where the j−1 term is c shifted one particle down
-        # the sublane axis with a carry row crossing chunk boundaries
-        # (chunks walk contiguously). Halves both the compare volume and
-        # the one-hot extractions vs the two-sided form.
-        def chunk_body(k, state):
-            acc, c_prev = state
-            hi = extract(cdfs_ref, k)
-            c = (u_t[:, None, :] <= hi).astype(jnp.int8)  # (TM, CW, OT)
-            c_shift = jnp.concatenate([c_prev, c[:, :-1, :]], axis=1)
-            acc = acc + jax.lax.dot_general(
+        def chunk_body(k, acc):
+            lo = cdfp_ref[:, :, pl.ds(k * cw, cw)]  # (TM, 1, CW)
+            hi = cdf_ref[:, :, pl.ds(k * cw, cw)]
+            band = ((u_t > lo) & (u_t <= hi)).astype(jnp.int8)  # (TM, OT, CW)
+            return acc + jax.lax.dot_general(
                 xb_ref[:, :, pl.ds(k * cw, cw)],  # (TM, 4C, CW) int8
-                jnp.bitwise_xor(c, c_shift),
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                band,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
             )
-            return acc, c[:, cw - 1 : cw, :]
 
-        acc = jnp.zeros((tm, c4, ot), jnp.int32)
-        # carry-in for the first chunk: c_{-1} = (u ≤ cdf_prev[ks·CW]) —
-        # one extraction of the transposed prev-CDF's first sublane row
-        lo0 = extract(cdfps_ref, ks)[:, 0:1, :]
-        c0 = (u_t[:, None, :] <= lo0).astype(jnp.int8)
-        acc, _ = jax.lax.fori_loop(ks, ke, chunk_body, (acc, c0))
+        acc = jax.lax.fori_loop(
+            ks, ke, chunk_body, jnp.zeros((tm, c4, ot), jnp.int32)
+        )
 
         c = c4 // 4
         b0 = acc[:, 0 * c : 1 * c, :] & 0xFF
@@ -114,7 +107,7 @@ def _kernel(ks_ref, ke_ref, u_ref, cdfs_ref, cdfps_ref, xb_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("tm", "ot", "cw", "interpret"))
 def resample_gather_walk(u, weights, xs, tm: int | None = None,
-                         ot: int = 256, cw: int = 128,
+                         ot: int = 128, cw: int = 128,
                          interpret: bool = False):
     """Fused sorted-uniform resample + ancestor gather, chunk-walk kernel.
 
@@ -124,24 +117,21 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
       weights: (M, N) non-negative, need not be normalized.
       xs:      (M, C, N) f32 particle cloud, components in sublanes.
       tm:      θ-rows per grid step (VMEM-bound; default by N).
-      ot:      output-tile width (lane multiple).
-      cw:      CDF chunk width (lane multiple).
+      ot:      output-tile width (lane multiple; also the dynamic output
+               write offset stride, so must be a 128-multiple).
+      cw:      CDF chunk width (128-multiple — chunk slices must sit at
+               128-multiple lane offsets).
 
     Returns (M, C, N) f32: ``xs`` gathered by the systematic ancestors —
     bitwise-equal to searchsorted(cdf, u, side="left") + take, the same tie
     semantics as ``resample_gather`` / ``resample_gather_bytes``.
     """
     m, n = u.shape
-    if tm is None and n >= 4096:
-        # swept on v5e (2026-08-19, host-fetch-synced, xor-mask kernel): at
-        # N=8192 (tm=4, ot=256, cw=128) = 8.49 ms is best; ot=512 within 1%,
-        # ot=128 loses (13 ms), ot≥1024 loses, cw=256 loses at every ot,
-        # tm=8 ≈ +1%
-        tm = 4
     if tm is None:
-        # small-N default (swept 2026-08-18): tm=8, ot=256, cw=128 is at or
-        # within 3% of best at N=1024 (1.25 ms); tm=16 fails to compile at
-        # large N (VMEM)
+        # swept on v5e (2026-08-19, host-fetch-synced, free-slice kernel):
+        # N=8192: (tm=8, ot=128, cw=128) = 6.56 ms best; tm=8/ot=256/cw∈
+        # {128,256} ≈ 6.9, ot=512 7.9, tm=16 OOMs scoped VMEM.
+        # N=1024: see sweep note below.
         tm = 8
     while m % tm:
         tm -= 1
@@ -161,10 +151,6 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     n_tiles = n // ot
     n_chunks = n // cw
 
-    # lane-transposed CDF: (M, CW, N/CW); chunk k = lane k (width-1 slice)
-    cdf_sub = jnp.swapaxes(cdf.reshape(m, n_chunks, cw), 1, 2)
-    cdfp_sub = jnp.swapaxes(cdf_prev.reshape(m, n_chunks, cw), 1, 2)
-
     # per-(row, tile) chunk bounds by vectorized compare-sum (no
     # searchsorted): first chunk whose end-CDF covers the tile's first /
     # last uniform; ancestors are sorted so these bracket every output.
@@ -183,15 +169,18 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     gks = k_start.reshape(n_groups, tm, n_tiles).min(axis=1)
     gke = (k_last.reshape(n_groups, tm, n_tiles).max(axis=1) + 1)
 
+    # host-transposed u: (M, OT, n_tiles); tile t's uniforms on sublanes
+    u_t = jnp.swapaxes(u.reshape(m, n_tiles, ot), 1, 2)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # gks, gke (flat)
         grid=(n_groups,),
         in_specs=[
+            pl.BlockSpec((tm, ot, n_tiles), lambda g, ks, ke: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 1, n), lambda g, ks, ke: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, cw, n_chunks), lambda g, ks, ke: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, cw, n_chunks), lambda g, ks, ke: (g, 0, 0),
+            pl.BlockSpec((tm, 1, n), lambda g, ks, ke: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 4 * c_pad, n), lambda g, ks, ke: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -200,16 +189,16 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, cw=cw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, c_pad, n), jnp.float32),
         interpret=interpret,
     )(
         gks.reshape(-1),
         gke.reshape(-1),
-        u[:, None, :],
-        cdf_sub,
-        cdfp_sub,
+        u_t,
+        cdf[:, None, :],
+        cdf_prev[:, None, :],
         xb,
     )
     return out[:, :c, :]
