@@ -31,6 +31,54 @@ def weighted_quantile(x: jax.Array, w: jax.Array, ps) -> jax.Array:
     return xs[idx]
 
 
+def weighted_quantile_binned(x: jax.Array, w: jax.Array, ps,
+                             bins: int = 128) -> jax.Array:
+    """Sort-free weighted quantiles via a fixed-grid histogram CDF.
+
+    Same estimand as :func:`weighted_quantile` but O(N·K) compare-reduce
+    work instead of an O(N log² N) TPU sort — built for per-step
+    ``collect_fn`` use inside the online scan, where sorting the full
+    (M, N) cloud every step dominated the flagship example's wall-clock
+    (PERF_NOTES.md round-3 profile). Bin masses are accumulated with one
+    fused compare+reduce, the CDF is inverted on the K edges and linearly
+    interpolated inside the landing bin; max error is one bin width of the
+    per-row particle range (K=128 ⇒ <1% of the range, far below the
+    Monte-Carlo error of the cloud itself).
+
+    Supports leading batch dims on ``x``/``w`` (e.g. (M, N)); ``ps`` is a
+    1-D probability vector appended as the trailing output axis.
+    """
+    ps = jnp.asarray(ps, dtype=x.dtype)
+    lo = jnp.min(x, axis=-1, keepdims=True)
+    hi = jnp.max(x, axis=-1, keepdims=True)
+    span = jnp.maximum(hi - lo, jnp.asarray(1e-12, x.dtype))
+    # bin index per particle, one-hot mass accumulation (fused by XLA —
+    # the (..., N, K) one-hot is never materialized at f32 width)
+    idx = jnp.clip(
+        ((x - lo) / span * bins).astype(jnp.int32), 0, bins - 1
+    )
+    one_hot = (idx[..., None] == jnp.arange(bins)).astype(x.dtype)
+    mass = jnp.einsum("...n,...nk->...k", w, one_hot)
+    cdf = jnp.cumsum(mass, axis=-1)
+    total = cdf[..., -1:]
+    cdf = cdf / jnp.maximum(total, jnp.asarray(1e-30, x.dtype))
+    # invert: k(p) = first bin with cdf ≥ p  (compare-sum, no searchsorted)
+    k = jnp.sum(
+        (cdf[..., :, None] < ps[..., None, :]).astype(jnp.int32), axis=-2
+    )
+    k = jnp.clip(k, 0, bins - 1)
+    cdf_pad = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    cdf_lo = jnp.take_along_axis(cdf_pad, k, axis=-1)
+    m_k = jnp.take_along_axis(
+        mass / jnp.maximum(total, jnp.asarray(1e-30, x.dtype)), k, axis=-1
+    )
+    frac = jnp.clip(
+        (ps - cdf_lo) / jnp.maximum(m_k, jnp.asarray(1e-12, x.dtype)), 0.0, 1.0
+    )
+    width = span / bins
+    return lo + (k.astype(x.dtype) + frac) * width
+
+
 def weighted_mean(x: jax.Array, w: jax.Array) -> jax.Array:
     return jnp.sum(w * x, axis=-1)
 
@@ -42,26 +90,40 @@ def weighted_var(x: jax.Array, w: jax.Array) -> jax.Array:
 
 # -- SMC² (particle-cloud) summaries ----------------------------------------
 
-def state_quantiles(state: SMC2State, ps, component: int = 0) -> jax.Array:
+def state_quantiles(state: SMC2State, ps, component: int = 0,
+                    method: str = "binned") -> jax.Array:
     """ω-averaged per-θ weighted quantiles of one state component.
 
     ≡ ``get_quantiles_uc`` / ``get_quantiles_ucsv``
     (examples/inflation_example.jl:39-55, 241-253): quantiles of each θ's
     cloud under its particle weights, averaged under the θ-weights ω.
+
+    ``method``: "binned" (default — sort-free histogram inversion, built
+    for per-step collection inside the online scan) or "sort" (exact
+    inverse-CDF via a full sort).
     """
     omega = jax.nn.softmax(state.log_omega)
-    per_theta = jax.vmap(
-        lambda x, lw: weighted_quantile(x, jnp.exp(lw), ps)
-    )(state.particles[..., component], state.log_w)
+    x = state.particles[..., component]
+    if method == "binned":
+        per_theta = weighted_quantile_binned(x, jnp.exp(state.log_w), ps)
+    else:
+        per_theta = jax.vmap(
+            lambda xx, lw: weighted_quantile(xx, jnp.exp(lw), ps)
+        )(x, state.log_w)
     return omega @ per_theta
 
 
-def cycle_quantiles(state: SMC2State, yt, ps, component: int = 0) -> jax.Array:
+def cycle_quantiles(state: SMC2State, yt, ps, component: int = 0,
+                    method: str = "binned") -> jax.Array:
     """Quantiles of the cycle y_t − x_t (examples/inflation_example.jl:46)."""
     omega = jax.nn.softmax(state.log_omega)
-    per_theta = jax.vmap(
-        lambda x, lw: weighted_quantile(yt - x, jnp.exp(lw), ps)
-    )(state.particles[..., component], state.log_w)
+    x = yt - state.particles[..., component]
+    if method == "binned":
+        per_theta = weighted_quantile_binned(x, jnp.exp(state.log_w), ps)
+    else:
+        per_theta = jax.vmap(
+            lambda xx, lw: weighted_quantile(xx, jnp.exp(lw), ps)
+        )(x, state.log_w)
     return omega @ per_theta
 
 

@@ -57,6 +57,7 @@ def smc2_state_shardings(mesh: Mesh):
         key=s(),
         t=s(),
         active_n=s(),
+        exchange_pending=s(),
     )
 
 

@@ -30,6 +30,16 @@ class SMCConfig(NamedTuple):
     chain: int = 3  # MCMC steps per rejuvenation
     ess_threshold: float = 0.5  # θ-ESS trigger: ess_min = M·threshold
     acc_threshold: float = -1.0  # exchange trigger (min_ar; -1 disables)
+    # elastic (acc_threshold > 0) padding policy — DEVIATIONS.md §5:
+    #   "grow": arrays stay at the live size; a triggered doubling raises
+    #           state.exchange_pending, serviced host-side (maybe_exchange /
+    #           run_segmented boundaries) by re-padding + refiltering —
+    #           ≤ log2(cap/N) recompiles, ZERO steady-state padding tax;
+    #   "full": arrays padded once to the doubling cap; active_n doubles
+    #           inside the compiled scan (zero host sync, but every step
+    #           runs at the padded shape — up to 8× dead compute until the
+    #           cloud actually grows).
+    elastic_pad: str = "grow"
     inner: PFConfig = PFConfig("systematic", 1.0)  # inner-PF config
     theta_resampling: str = "multinomial"  # ≡ resample! smc_samplers.jl:74-84
     # adaptive random-walk kernel constants (smc_samplers.jl:87-101)
@@ -68,11 +78,16 @@ class SMC2State:
     key: jax.Array  # PRNG state
     t: jax.Array  # int32: number of observations assimilated
     # int32: live state particles per θ. Equal to N_pad in the fixed-N case;
-    # with an in-graph exchange step (acc_threshold > 0) the particle arrays
-    # are padded to the doubling cap and this carries the active count —
-    # slots ≥ active_n hold log_w = -inf (the static-shape form of the
-    # reference's N-doubling, smc_samplers.jl:163-189).
+    # with an in-graph exchange step (acc_threshold > 0, elastic_pad="full")
+    # the particle arrays are padded to the doubling cap and this carries the
+    # active count — slots ≥ active_n hold log_w = -inf (the static-shape
+    # form of the reference's N-doubling, smc_samplers.jl:163-189). In
+    # "grow" mode it always equals the array size.
     active_n: jax.Array = None
+    # bool: an exchange trigger fired but could not double in-graph (grow
+    # mode) — serviced host-side at the next maybe_exchange call or
+    # run_segmented boundary (DEVIATIONS.md §5).
+    exchange_pending: jax.Array = None
 
     @property
     def n_theta(self) -> int:
@@ -81,6 +96,26 @@ class SMC2State:
     @property
     def n_particles(self) -> int:
         return self.particles.shape[1]
+
+    def __repr__(self):
+        return _sampler_repr(self)
+
+
+def _sampler_repr(state) -> str:
+    """≡ ``Base.show(io, smc::SMC)`` (smc_samplers.jl:67-72): the θ-ESS and
+    the ω-weighted posterior mean of θ. Falls back to the generic repr for
+    traced (abstract) states inside jit."""
+    try:
+        import numpy as np
+
+        ess = round(float(state.ess), 3)
+        w = jax.nn.softmax(state.log_omega)
+        mean = np.asarray(w @ state.theta).round(5)
+    except (jax.errors.TracerArrayConversionError, jax.errors.ConcretizationTypeError, TypeError):
+        return object.__repr__(state)
+    return f"{type(state).__name__}: ess     = {ess}\n" + " " * len(
+        type(state).__name__
+    ) + "  mean(θ) = {}".format(mean)
 
 
 @pytree_dataclass
@@ -100,6 +135,9 @@ class IBISState:
     @property
     def n_theta(self) -> int:
         return self.theta.shape[0]
+
+    def __repr__(self):
+        return _sampler_repr(self)
 
 
 class StepInfo(NamedTuple):

@@ -139,6 +139,7 @@ def _dt_init(sampler: SMC2):
             key=k_state,
             t=jnp.asarray(y.shape[0], dtype=jnp.int32),
             active_n=jnp.asarray(cfg.n_particles, dtype=jnp.int32),
+            exchange_pending=jnp.asarray(False),
         )
 
     fn = jax.jit(impl)

@@ -75,14 +75,26 @@ class SMC2:
         self.model_fn = model_fn
         self.prior = prior
         self.config = config
-        # In-graph exchange (elastic N): with acc_threshold > 0 the particle
-        # arrays are padded once to the doubling cap (reference: N doubles
-        # while N ≤ exchange_max_n, smc_samplers.jl:166) and the live count
-        # rides ``state.active_n`` — so ``run()`` honors the exchange step
-        # inside ONE compiled scan, no host sync / recompile.
+        # Elastic N (exchange step enabled, acc_threshold > 0) — two padding
+        # policies (DEVIATIONS.md §5, SMCConfig.elastic_pad):
+        #   "full": arrays padded once to the doubling cap (reference: N
+        #     doubles while N ≤ exchange_max_n, smc_samplers.jl:166); the
+        #     live count rides ``state.active_n`` and doubling happens
+        #     INSIDE the compiled scan — zero host sync, but every step pays
+        #     the padded-shape cost even before any exchange fires.
+        #   "grow" (default): arrays stay at the live size (zero padding
+        #     tax; steps are bitwise-identical to acc_threshold=-1 until an
+        #     exchange fires); a trigger raises ``state.exchange_pending``,
+        #     serviced host-side (``maybe_exchange`` between steps —
+        #     reference timing — or at ``run_segmented`` boundaries) by
+        #     re-padding + refiltering, ≤ log2(cap/N) recompiles total.
         self._elastic = config.acc_threshold > 0.0
+        self._grow = self._elastic and config.elastic_pad == "grow"
+        # pass active_n through the batched filters only when a live count
+        # can differ from the array size (full-pad mode)
+        self._use_active = self._elastic and not self._grow
         n_pad = config.n_particles
-        if self._elastic:
+        if self._elastic and not self._grow:
             while n_pad <= config.exchange_max_n:
                 n_pad *= 2
         self._n_pad = n_pad
@@ -103,7 +115,7 @@ class SMC2:
         active0 = jnp.asarray(cfg.n_particles, dtype=jnp.int32)
         outs = batched_pf_init(
             k_pf, models, self._n_pad, cfg.n_theta, y[0],
-            active0 if self._elastic else None,
+            active0 if self._use_active else None,
         )
         # ≡ smc²(smc,y): ω ← logμ₀, logZ ← ω (the reference's aliasing at
         # :297 made explicit), then reweight for the ESS
@@ -120,6 +132,7 @@ class SMC2:
             key=k_state,
             t=jnp.asarray(1, dtype=jnp.int32),
             active_n=active0,
+            exchange_pending=jnp.asarray(False),
         )
 
     def init(self, key, y) -> SMC2State:
@@ -154,7 +167,7 @@ class SMC2:
         programs)."""
         cfg = self.config
         n = state.particles.shape[1]
-        active = state.active_n if self._elastic else None
+        active = state.active_n if self._use_active else None
         sigma = rw_kernel_cov(state.theta, cfg)
         chol = kernel_chol(sigma)
         scales = anneal_scales(cfg)
@@ -229,8 +242,20 @@ class SMC2:
         step: if the rejuvenation acceptance rate fell below acc_threshold
         and the live count is within the cap, double ``active_n``, re-filter
         the consumed history at the doubled count (same padded arrays —
-        static shapes), and importance-reweight θ by new_logZ − logZ."""
+        static shapes), and importance-reweight θ by new_logZ − logZ.
+
+        In grow mode there is no padding headroom to double into: the
+        trigger only raises ``exchange_pending``, serviced host-side
+        (``maybe_exchange`` / ``run_segmented`` boundary) by a re-pad +
+        refilter at the doubled static shape — DEVIATIONS.md §5."""
         cfg = self.config
+        trigger = (state.acc_ratio < cfg.acc_threshold) & (
+            state.active_n <= cfg.exchange_max_n
+        )  # [cannot exceed max state particles] (:187)
+        if self._grow:
+            return replace(
+                state, exchange_pending=state.exchange_pending | trigger
+            )
 
         def do(st):
             active2 = st.active_n * 2
@@ -251,9 +276,6 @@ class SMC2:
                 active_n=active2,
             )
 
-        trigger = (state.acc_ratio < cfg.acc_threshold) & (
-            state.active_n <= cfg.exchange_max_n
-        )  # [cannot exceed max state particles] (:187)
         return jax.lax.cond(trigger, do, lambda s: s, state)
 
     def _step_impl(self, state: SMC2State, y):
@@ -281,7 +303,7 @@ class SMC2:
         models = jax.vmap(self.model_fn)(state.theta)
         outs = batched_pf_step(
             k_prop, models, state.particles, state.log_w, yt, cfg.inner,
-            state.active_n if self._elastic else None,
+            state.active_n if self._use_active else None,
         )
 
         prev_lse = jax.scipy.special.logsumexp(state.log_omega)
@@ -314,7 +336,7 @@ class SMC2:
 
     # -- exchange (N-doubling) ---------------------------------------------
 
-    def _refilter_impl(self, state: SMC2State, y, new_particles_shape=None):
+    def _refilter_impl(self, state: SMC2State, y):
         """Re-run fresh inner PFs for all θ over the consumed history at the
         CURRENT particle shape of ``state`` (used after doubling N)."""
         cfg = self.config
@@ -340,6 +362,22 @@ class SMC2:
             key=key,
         )
 
+    def _service_exchange(self, state: SMC2State, y) -> SMC2State:
+        """Host-driven N-doubling: re-pad the particle arrays to 2N,
+        refilter the consumed history at the new static shape, and
+        importance-reweight θ (≡ exchange!, smc_samplers.jl:163-189).
+        Recompiles `_refilter_jit` once per distinct shape — at most
+        log2(exchange_max_n / n_particles) + 1 times over a run."""
+        n = state.particles.shape[1]
+        doubled = replace(
+            state,
+            particles=jnp.concatenate([state.particles] * 2, axis=1),
+            log_w=jnp.concatenate([state.log_w] * 2, axis=1),
+            active_n=jnp.asarray(2 * n, dtype=jnp.int32),
+            exchange_pending=jnp.asarray(False),
+        )
+        return self._refilter_jit(doubled, jnp.asarray(y))
+
     def maybe_exchange(self, state: SMC2State, y, info: StepInfo) -> SMC2State:
         """≡ ``exchange!`` (smc_samplers.jl:163-189): if the last
         rejuvenation's acceptance rate fell below ``acc_threshold``, double N
@@ -349,24 +387,15 @@ class SMC2:
         cfg = self.config
         if cfg.acc_threshold <= 0.0:
             return state
-        if self._elastic:
-            # with acc_threshold > 0 the exchange already runs IN-GRAPH
-            # inside step()/run() (_exchange_ingraph) — nothing to do here
-            return state
-        if not bool(info.rejuvenated):
-            return state
-        if float(state.acc_ratio) >= cfg.acc_threshold:
-            return state
-        n = state.particles.shape[1]
-        if n > cfg.exchange_max_n:
-            return state  # [cannot exceed max state particles] (:187)
-        doubled = replace(
-            state,
-            particles=jnp.concatenate([state.particles] * 2, axis=1),
-            log_w=jnp.concatenate([state.log_w] * 2, axis=1),
-            active_n=jnp.asarray(2 * n, dtype=jnp.int32),
-        )
-        return self._refilter_jit(doubled, jnp.asarray(y))
+        if self._grow:
+            # the compiled step raised the trigger flag (reference timing:
+            # right after the rejuvenation) — service it now, host-side
+            if not bool(state.exchange_pending):
+                return state
+            return self._service_exchange(state, y)
+        # full-pad mode: the exchange already ran IN-GRAPH inside
+        # step()/run() (_exchange_ingraph) — nothing to do here
+        return state
 
     # -- fused full-sequence run -------------------------------------------
 
@@ -384,10 +413,21 @@ class SMC2:
         return state, infos
 
     def run(self, key, y, collect_fn: Optional[Callable] = None):
-        """Whole-sequence online run as ONE compiled ``lax.scan`` over T
-        (no exchange step — fixed N). ``collect_fn(state)`` gathers per-step
-        summaries (e.g. weighted trend quantiles, the inflation-example
-        pattern at examples/inflation_example.jl:67-74)."""
+        """Whole-sequence online run as ONE compiled ``lax.scan`` over T.
+
+        ``collect_fn(state)`` gathers per-step summaries (e.g. weighted
+        trend quantiles, the inflation-example pattern at
+        examples/inflation_example.jl:67-74).
+
+        The exchange step (acc_threshold > 0): with ``elastic_pad="full"``
+        the N-doubling happens inside this one compiled scan via
+        ``active_n``; with the default ``elastic_pad="grow"`` doubling needs
+        a host-side re-pad, so this method delegates to
+        :meth:`run_segmented` (same results; doublings serviced at segment
+        boundaries — DEVIATIONS.md §5). With acc_threshold ≤ 0 (reference
+        default) N is fixed and the scan is a single dispatch."""
+        if self._grow:
+            return self.run_segmented(key, y, collect_fn=collect_fn)
         if collect_fn is None:
             run = self._run_jit
         else:
@@ -456,5 +496,12 @@ class SMC2:
         for _ in range(-(-(T - 1) // seg)):
             state, out = seg_fn(state, y)
             chunks.append(out)
+            if self._grow and bool(state.exchange_pending):
+                # service the N-doubling raised inside the segment: re-pad
+                # to 2N + refilter (one scalar fetch per boundary; the
+                # doubling lands ≤ seg−1 steps after its trigger —
+                # DEVIATIONS.md §5). seg_fn retraces at the new shape,
+                # ≤ log2(cap/N) times total.
+                state = self._service_exchange(state, y)
         outs = jax.tree.map(lambda *xs: jnp.concatenate(xs)[: T - 1], *chunks)
         return state, outs

@@ -34,6 +34,50 @@ def test_weighted_quantile_point_mass():
     assert (np.asarray(qs) == 2.0).all()
 
 
+def test_weighted_quantile_binned_matches_sort():
+    """The sort-free histogram inversion agrees with the exact sort-based
+    quantile to within one bin width of the sample range."""
+    from sequential_monte_carlo_tpu.analysis import weighted_quantile_binned
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=4096).astype(np.float32))
+    logw = rng.normal(size=4096).astype(np.float32)
+    w = jnp.asarray(np.exp(logw - logw.max()))
+    ps = jnp.asarray([0.05, 0.25, 0.5, 0.75, 0.95])
+    exact = np.asarray(weighted_quantile(x, w, ps))
+    binned = np.asarray(weighted_quantile_binned(x, w, ps, bins=128))
+    tol = float(x.max() - x.min()) / 128
+    np.testing.assert_allclose(binned, exact, atol=tol)
+    assert (np.diff(binned) >= 0).all()
+
+
+def test_weighted_quantile_binned_batched():
+    """Leading batch dims (the (M, N) collect_fn shape) in one call."""
+    from sequential_monte_carlo_tpu.analysis import weighted_quantile_binned
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(8, 512)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.1, 1.0, size=(8, 512)).astype(np.float32))
+    ps = jnp.asarray([0.25, 0.5, 0.75])
+    out = weighted_quantile_binned(x, w, ps)
+    assert out.shape == (8, 3)
+    for i in range(8):
+        exact = np.asarray(weighted_quantile(x[i], w[i], ps))
+        tol = float(x[i].max() - x[i].min()) / 128
+        np.testing.assert_allclose(np.asarray(out[i]), exact, atol=tol)
+
+
+def test_weighted_quantile_binned_point_mass():
+    from sequential_monte_carlo_tpu.analysis import weighted_quantile_binned
+
+    x = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    w = jnp.asarray([0.0, 1.0, 0.0, 0.0])
+    qs = np.asarray(
+        weighted_quantile_binned(x, w, jnp.asarray([0.1, 0.5, 0.9]), bins=64)
+    )
+    np.testing.assert_allclose(qs, 2.0, atol=(4.0 - 1.0) / 64 + 1e-6)
+
+
 @pytest.fixture(scope="module")
 def smc2_state():
     prior = smc.product_distribution(

@@ -145,15 +145,16 @@ def test_rejuvenation_resets_weights_and_reports_acceptance(lg_setup):
 
 
 def test_exchange_doubles_n(lg_setup):
-    """exchange! ≡ smc_samplers.jl:163-189, IN-GRAPH: acc below threshold →
-    the live particle count doubles inside the compiled step. Arrays are
-    padded once to the doubling cap; ``state.active_n`` carries the live
-    count and the dead tail stays at log-weight −inf."""
+    """exchange! ≡ smc_samplers.jl:163-189, IN-GRAPH (elastic_pad="full"):
+    acc below threshold → the live particle count doubles inside the
+    compiled step. Arrays are padded once to the doubling cap;
+    ``state.active_n`` carries the live count and the dead tail stays at
+    log-weight −inf."""
     prior, y = lg_setup
     cfg = smc.SMCConfig(
         n_particles=64, n_theta=64, chain=2, ess_threshold=0.5,
         acc_threshold=1.1,  # always trigger after a rejuvenation
-        exchange_max_n=128,
+        exchange_max_n=128, elastic_pad="full",
     )
     sampler = smc.SMC2(smc.lg_model, prior, cfg)
     state = sampler.init(jax.random.key(11), y)
@@ -177,7 +178,7 @@ def test_exchange_inside_fused_run(lg_setup):
     prior, y = lg_setup
     cfg = smc.SMCConfig(
         n_particles=64, n_theta=64, chain=2, ess_threshold=0.5,
-        acc_threshold=1.1, exchange_max_n=128,
+        acc_threshold=1.1, exchange_max_n=128, elastic_pad="full",
     )
     sampler = smc.SMC2(smc.lg_model, prior, cfg)
     state, infos = sampler.run(jax.random.key(11), y)
@@ -185,6 +186,86 @@ def test_exchange_inside_fused_run(lg_setup):
     assert int(state.active_n) <= 256
     assert np.isfinite(float(state.ess))
     assert np.isfinite(np.asarray(infos.log_evidence_incr)).all()
+
+
+def test_exchange_grow_mode_step_driven(lg_setup):
+    """Pay-as-you-grow elastic mode (default, VERDICT r2 #2): arrays start
+    UNPADDED; a triggered exchange raises exchange_pending and
+    maybe_exchange services it by re-padding + refiltering at the doubled
+    static shape — reference timing, zero steady-state padding tax."""
+    prior, y = lg_setup
+    cfg = smc.SMCConfig(
+        n_particles=64, n_theta=64, chain=2, ess_threshold=0.5,
+        acc_threshold=1.1, exchange_max_n=128,  # elastic_pad="grow" default
+    )
+    sampler = smc.SMC2(smc.lg_model, prior, cfg)
+    state = sampler.init(jax.random.key(11), y)
+    assert state.particles.shape[1] == 64  # NO padding at init
+    assert int(state.active_n) == 64
+    sizes = {64}
+    for _ in range(1, 30):
+        state, info = sampler.step(state, y)
+        state = sampler.maybe_exchange(state, y, info)
+        assert int(state.active_n) == state.particles.shape[1]  # invariant
+        sizes.add(int(state.active_n))
+    assert 128 in sizes  # doubled at least once
+    assert max(sizes) <= 256  # respects the cap (≤128 before doubling)
+    assert np.isfinite(np.asarray(state.log_w)).all()  # no dead tail
+
+
+def test_exchange_grow_mode_segmented(lg_setup):
+    """run_segmented services pending doublings at segment boundaries."""
+    prior, y = lg_setup
+    cfg = smc.SMCConfig(
+        n_particles=64, n_theta=64, chain=2, ess_threshold=0.5,
+        acc_threshold=1.1, exchange_max_n=128,
+    )
+    sampler = smc.SMC2(smc.lg_model, prior, cfg)
+    state, infos = sampler.run_segmented(jax.random.key(11), y, segment_size=8)
+    assert int(state.active_n) > 64
+    assert int(state.active_n) == state.particles.shape[1]
+    assert np.isfinite(float(state.ess))
+    assert infos.ess.shape == (y.shape[0] - 1,)
+    # run() in grow mode delegates to the segmented path and matches it
+    s2, _ = sampler.run(jax.random.key(11), y)
+    assert int(s2.active_n) > 64
+
+
+def test_exchange_grow_mode_no_fire_is_free(lg_setup):
+    """With acc_threshold > 0 but no exchange fired, grow mode is
+    BITWISE-identical to the acc_threshold=-1 run (zero padding tax —
+    VERDICT r2 #2 done-criterion, exact rather than within-10%)."""
+    prior, y = lg_setup
+    base = smc.SMCConfig(n_particles=64, n_theta=64, chain=2,
+                         ess_threshold=0.5)
+    elastic = base._replace(acc_threshold=1e-6)  # never triggers
+    s_base, _ = smc.SMC2(smc.lg_model, prior, base).run_segmented(
+        jax.random.key(3), y, segment_size=16
+    )
+    s_el, _ = smc.SMC2(smc.lg_model, prior, elastic).run_segmented(
+        jax.random.key(3), y, segment_size=16
+    )
+    assert not bool(s_el.exchange_pending)
+    assert s_el.particles.shape == s_base.particles.shape
+    np.testing.assert_array_equal(np.asarray(s_el.theta), np.asarray(s_base.theta))
+    np.testing.assert_array_equal(
+        np.asarray(s_el.particles), np.asarray(s_base.particles)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(s_el.log_omega), np.asarray(s_base.log_omega)
+    )
+
+
+def test_sampler_repr(lg_setup):
+    """__repr__ ≡ Base.show(io, smc) (smc_samplers.jl:67-72): ess + mean θ."""
+    prior, y = lg_setup
+    sampler = smc.SMC2(smc.lg_model, prior, CFG)
+    state = sampler.init(jax.random.key(0), y)
+    r = repr(state)
+    assert "ess" in r and "mean(θ)" in r
+    ibis = smc.IBIS(smc.lg_model, prior, smc.SMCConfig(n_theta=64, chain=2))
+    ri = repr(ibis.init(jax.random.key(0), y))
+    assert "ess" in ri and "mean(θ)" in ri
 
 
 def test_evidence_accumulation(lg_setup):
