@@ -48,6 +48,10 @@ from sequential_monte_carlo_tpu.analysis.plotting import (
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 PS = jnp.array([0.25, 0.5, 0.75])
+# stamped on every figure: the vendored series is NOT the FRED PCECTPI data
+# the reference's visuals use (zero-egress build; see module docstring)
+ANNOT = "synthetic stand-in series — not FRED PCECTPI"
+
 
 
 def load_pce():
@@ -56,7 +60,9 @@ def load_pce():
     path = os.path.join(HERE, "data", "pce_inflation.csv")
     values = read_csv_column(path, 1)  # native mmap loader (csrc/dataio.cpp)
     with open(path) as f:
-        dates = [row["date"] for row in csv.DictReader(f)]
+        dates = np.array(
+            [row["date"] for row in csv.DictReader(f)], dtype="datetime64[D]"
+        )
     return dates, jnp.asarray(values, dtype=jnp.float32)
 
 
@@ -83,7 +89,7 @@ def ucsv_prior():
     )
 
 
-def run_online(name, model_fn, prior, y, n, m, chain, outdir):
+def run_online(name, model_fn, prior, y, n, m, chain, outdir, dates=None):
     """Online SMC² collecting per-t trend/cycle quantiles + variances
     ≡ the example's main loops (inflation_example.jl:64-74, 262-267)."""
     cfg = smc.SMCConfig(n_particles=n, n_theta=m, chain=chain, ess_threshold=0.5)
@@ -115,12 +121,14 @@ def run_online(name, model_fn, prior, y, n, m, chain, outdir):
     print(f"[{name}] SMC² {m}x{n} T={len(y)} in {dt:.1f}s; "
           f"final ess={float(state.ess):.1f}; θ̂={theta_hat.round(4)}")
 
+    d1 = None if dates is None else dates[1:]
     xq = np.asarray(series["xq"])  # (T-1, 3)
     plot_filtered_band(
         np.asarray(y)[1:], xq[:, 0], xq[:, 1], xq[:, 2],
         label=f"filtered trend ({name})",
         title="quarterly PCE inflation rate",
         path=os.path.join(outdir, f"pce_inflation_trend_{name}.png"),
+        dates=d1, annotation=ANNOT,
     )
     cq = np.asarray(series["cq"])
     plot_filtered_band(
@@ -128,16 +136,18 @@ def run_online(name, model_fn, prior, y, n, m, chain, outdir):
         label=f"filtered cycle ({name})",
         title="quarterly PCE inflation rate",
         path=os.path.join(outdir, f"pce_inflation_cycle_{name}.png"),
+        dates=d1, annotation=ANNOT,
     )
     hists = posterior_histograms(jax.random.key(7), state)
     plot_histograms(
         hists, var_names=[f"θ{i}" for i in range(len(hists))],
         path=os.path.join(outdir, f"theta_posterior_{name}.png"),
+        annotation=ANNOT,
     )
     return state, theta_hat, np.asarray(series["var"])
 
 
-def run_pf_at_theta_hat(name, model, y, n, outdir):
+def run_pf_at_theta_hat(name, model, y, n, outdir, dates=None):
     """Plain bootstrap PF at θ̂ with per-t quantiles ≡ get_latent_states_*
     (inflation_example.jl:153-178, 326-355)."""
     def summarize(state):
@@ -157,6 +167,7 @@ def run_pf_at_theta_hat(name, model, y, n, outdir):
         label=f"filtered trend ({name})",
         title="quarterly PCE inflation rate (given θ)",
         path=os.path.join(outdir, f"pce_inflation_trend_{name}_post.png"),
+        dates=dates, annotation=ANNOT,
     )
     print(f"[{name}] PF at θ̂: logZ={float(logz):.2f}")
     return np.asarray(series["summary"]["var"])
@@ -183,10 +194,12 @@ def main():
     if args.model in ("uc", "both"):
         # -- UC model (inflation_example.jl:28-74) --
         uc_state, uc_theta, uc_vars = run_online(
-            "uc", smc.uc_model, uc_prior(), y, *uc_sizes, outdir=args.outdir
+            "uc", smc.uc_model, uc_prior(), y, *uc_sizes, outdir=args.outdir,
+            dates=dates,
         )
         uc_pred_vars = run_pf_at_theta_hat(
-            "uc", smc.uc_model(jnp.asarray(uc_theta)), y, uc_sizes[0], args.outdir
+            "uc", smc.uc_model(jnp.asarray(uc_theta)), y, uc_sizes[0],
+            args.outdir, dates=dates,
         )
         ratios.append(np.log(uc_vars + eps) - np.log(uc_pred_vars[1:] + eps))
         labels.append("log variance ratio (UC)")
@@ -194,10 +207,12 @@ def main():
     if args.model in ("ucsv", "both"):
         # -- UC-SV model (inflation_example.jl:229-267) --
         ucsv_state, ucsv_theta, ucsv_vars = run_online(
-            "ucsv", smc.ucsv_model, ucsv_prior(), y, *ucsv_sizes, outdir=args.outdir
+            "ucsv", smc.ucsv_model, ucsv_prior(), y, *ucsv_sizes,
+            outdir=args.outdir, dates=dates,
         )
         ucsv_pred_vars = run_pf_at_theta_hat(
-            "ucsv", smc.ucsv_model(jnp.asarray(ucsv_theta)), y, ucsv_sizes[0], args.outdir
+            "ucsv", smc.ucsv_model(jnp.asarray(ucsv_theta)), y, ucsv_sizes[0],
+            args.outdir, dates=dates,
         )
         ratios.append(np.log(ucsv_vars + eps) - np.log(ucsv_pred_vars[1:] + eps))
         labels.append("log variance ratio (UCSV)")
@@ -206,6 +221,7 @@ def main():
     plot_variance_ratio(
         ratios, labels=labels,
         path=os.path.join(args.outdir, "log_variance_ratio_inflation.png"),
+        dates=dates[1:], annotation=ANNOT,
     )
     print(f"wrote figures to {args.outdir}")
 

@@ -16,7 +16,16 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
-def plot_histograms(histograms, var_names=None, path=None):
+def _annotate(fig, annotation):
+    """Stamp a provenance caveat onto the figure itself (e.g. "synthetic
+    stand-in series") so exported artifacts can't be mistaken for
+    real-data results (VERDICT r2 weak #5)."""
+    if annotation:
+        fig.text(0.995, 0.005, annotation, ha="right", va="bottom",
+                 fontsize=7, color="0.45", style="italic")
+
+
+def plot_histograms(histograms, var_names=None, path=None, annotation=None):
     """Grouped 2-wide histogram panel ≡ plot_histograms (plotting_utils.jl:39-54).
 
     ``histograms`` is the output of :func:`..analysis.posterior_histograms`.
@@ -33,6 +42,7 @@ def plot_histograms(histograms, var_names=None, path=None):
     for j in range(k, rows * 2):
         axes[j // 2][j % 2].axis("off")
     fig.tight_layout()
+    _annotate(fig, annotation)
     if path:
         fig.savefig(path)
         plt.close(fig)
@@ -40,18 +50,27 @@ def plot_histograms(histograms, var_names=None, path=None):
 
 
 def plot_filtered_band(y, lower, median, upper, label="filtered trend", path=None,
-                       dates=None, title=None):
+                       dates=None, title=None, annotation=None):
     """Observed data + filtered quantile band ≡ the inflation example's
-    trend plots (examples/inflation_example.jl:100-122)."""
-    t = np.arange(len(y)) if dates is None else dates
+    trend plots (examples/inflation_example.jl:100-122). ``dates`` (e.g.
+    np.datetime64 array) puts the x-axis on calendar time with year ticks
+    ≡ the reference's date_coordinates_in="x" axes
+    (plotting_utils.jl:57-92)."""
+    t = np.arange(len(y)) if dates is None else np.asarray(dates)
     fig, ax = plt.subplots(figsize=(9, 4))
     ax.scatter(t, np.asarray(y), s=8, color="black", label="observed data")
     ax.fill_between(t, np.asarray(lower), np.asarray(upper), color="grey", alpha=0.35)
     ax.plot(t, np.asarray(median), color="red", label=label)
     ax.legend()
+    if dates is not None:
+        import matplotlib.dates as mdates
+
+        ax.xaxis.set_major_locator(mdates.AutoDateLocator())
+        ax.xaxis.set_major_formatter(mdates.DateFormatter("%Y"))
     if title:
         ax.set_title(title)
     fig.tight_layout()
+    _annotate(fig, annotation)
     if path:
         fig.savefig(path)
         plt.close(fig)
@@ -85,17 +104,25 @@ def plot_state_trajectory(xs, qs, path=None):
     return fig
 
 
-def plot_variance_ratio(log_ratio_series, labels=None, path=None):
+def plot_variance_ratio(log_ratio_series, labels=None, path=None,
+                        dates=None, annotation=None):
     """log var(P(x,θ|y)) − log var(P(x|y,θ)) over time
     ≡ examples/inflation_example.jl:404-423."""
     fig, ax = plt.subplots(figsize=(9, 3.5))
     series = np.atleast_2d(np.asarray(log_ratio_series))
     for i, s in enumerate(series):
-        ax.plot(s, label=None if labels is None else labels[i])
+        t = np.arange(len(s)) if dates is None else np.asarray(dates)[:len(s)]
+        ax.plot(t, s, label=None if labels is None else labels[i])
+    if dates is not None:
+        import matplotlib.dates as mdates
+
+        ax.xaxis.set_major_locator(mdates.AutoDateLocator())
+        ax.xaxis.set_major_formatter(mdates.DateFormatter("%Y"))
     ax.set_title("ratio of var(P(x,θ|y)) to var(P(x|y,θ))")
     if labels is not None:
         ax.legend()
     fig.tight_layout()
+    _annotate(fig, annotation)
     if path:
         fig.savefig(path)
         plt.close(fig)

@@ -228,6 +228,82 @@ def test_fused_agrees_with_xla_path_on_resample(ucsv_setup):
     np.testing.assert_array_equal(np.asarray(fused), np.asarray(ref))
 
 
+# -- elastic exchange (N-doubling) under sharding (VERDICT r2 #4) -----------
+
+
+def _elastic_cfg(elastic_pad):
+    return smc.SMCConfig(
+        n_particles=64, n_theta=64, chain=2, ess_threshold=0.5,
+        acc_threshold=1.1,  # always trigger after a rejuvenation
+        exchange_max_n=128, elastic_pad=elastic_pad,
+    )
+
+
+def _run_elastic_sharded(prior, y, mesh, elastic_pad, n_steps=20):
+    sh = ShardedSMC2(smc.SMC2(smc.lg_model, prior, _elastic_cfg(elastic_pad)), mesh)
+    state = sh.init(jax.random.key(11), y)
+    sizes = {int(state.active_n)}
+    for _ in range(n_steps):
+        state, info = sh.step(state, y)
+        if elastic_pad == "grow":
+            state = sh.sampler.maybe_exchange(state, y, info)
+            state = sh.reshard(state)  # re-place the re-padded arrays
+        sizes.add(int(state.active_n))
+    return state, sizes
+
+
+def _run_elastic_unsharded(prior, y, elastic_pad, n_steps=20):
+    base = smc.SMC2(smc.lg_model, prior, _elastic_cfg(elastic_pad))
+    state = base.init(jax.random.key(11), y)
+    for _ in range(n_steps):
+        state, info = base.step(state, y)
+        if elastic_pad == "grow":
+            state = base.maybe_exchange(state, y, info)
+    return state
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_elastic_full_matches_unsharded(setup, mesh_shape):
+    """In-graph elastic exchange (elastic_pad="full", active_n carried in
+    the compiled scan) composed with ShardedSMC2 on the 8-device mesh —
+    θ-sharded and θ×particle — doubles identically to the unsharded run
+    (≡ exchange!, smc_samplers.jl:163-189, under the SURVEY §5.8 mesh)."""
+    prior, y, _ = setup
+    mesh = make_mesh(*mesh_shape)
+    state, sizes = _run_elastic_sharded(prior, y, mesh, "full")
+    assert state.particles.shape[1] == 256  # padded to the doubling cap
+    assert 128 in sizes  # doubled at least once
+    assert max(sizes) <= 256
+    lw = np.asarray(state.log_w)
+    assert (lw[:, int(state.active_n):] == -np.inf).all()
+
+    ref = _run_elastic_unsharded(prior, y, "full")
+    assert int(state.active_n) == int(ref.active_n)
+    np.testing.assert_allclose(
+        np.asarray(state.theta), np.asarray(ref.theta), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_sharded_elastic_grow_matches_unsharded(setup):
+    """Pay-as-you-grow elastic mode under θ-sharding: the pending-exchange
+    flag raised inside the sharded step is serviced host-side (re-pad +
+    refilter + reshard); active_n tracks the array size and the doubled run
+    matches the unsharded sampler."""
+    prior, y, _ = setup
+    mesh = make_mesh(8, 1)
+    state, sizes = _run_elastic_sharded(prior, y, mesh, "grow")
+    assert int(state.active_n) == state.particles.shape[1]  # invariant
+    assert 128 in sizes
+    assert max(sizes) <= 256
+    assert np.isfinite(np.asarray(state.log_w)).all()  # no dead tail
+
+    ref = _run_elastic_unsharded(prior, y, "grow")
+    assert int(state.active_n) == int(ref.active_n)
+    np.testing.assert_allclose(
+        np.asarray(state.theta), np.asarray(ref.theta), rtol=1e-3, atol=1e-4
+    )
+
+
 def test_particle_sharded_mesh_disables_fused_and_runs(ucsv_setup):
     """With the particle axis sharded, the fused route must be disabled
     (pallas_call can't span a sharded particle dim) and the XLA fallback
