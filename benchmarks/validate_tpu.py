@@ -1,9 +1,10 @@
-"""On-chip validation + timing of the fused UC-SV walk kernel.
+"""On-chip validation + timing of the UC-SV hot path (two-kernel route).
 
 The pieces interpret mode cannot check (jax's TPU-interpret
-``prng_random_bits`` is a zeros stub): draw statistics of the propagate
-stage, plus bitwise gather equality and per-call timing vs the two-kernel
-route (resample_gather_walk + ucsv_propagate_reweight) on real hardware.
+``prng_random_bits`` is a zeros stub): draw statistics of the fused
+propagate+reweight kernel's on-chip PRNG, plus bitwise gather equality of
+the chunk-walk resample kernel and per-step timing on real hardware.
+Referenced by the TPU-gated statistics test in tests/test_batched_filter.py.
 
   python benchmarks/validate_tpu.py [--n 8192] [--iters 50]
 """
@@ -38,7 +39,6 @@ from sequential_monte_carlo_tpu.kernels.resample_walk import (
 from sequential_monte_carlo_tpu.kernels.ucsv_pallas import (
     ucsv_propagate_reweight,
 )
-from sequential_monte_carlo_tpu.kernels.ucsv_walk_pallas import ucsv_walk_step
 
 
 def _inverse_cdf(u, w):
@@ -49,24 +49,25 @@ def _inverse_cdf(u, w):
 
 def validate(m, n):
     w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (m, n)) * 2)
-    planar = jnp.pad(
-        jax.random.normal(jax.random.key(1), (m, 3, n)), ((0, 0), (0, 5), (0, 0))
-    ).astype(jnp.float32)
+    planar = jax.random.normal(jax.random.key(1), (m, 3, n)).astype(jnp.float32)
     u = systematic_uniforms(jax.random.key(2), m, n)
 
-    # γ=0: rows 1,2 are the pure gather — bitwise vs searchsorted+take
-    gam0 = jnp.zeros((m, 2), jnp.float32)
-    out, logw = ucsv_walk_step(7, 1.3, gam0, u, w, planar)
+    # 1. the walk kernel's gather is bitwise searchsorted+take on hardware
+    g = resample_gather_walk(u, w, planar)
     anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
     ref = jax.vmap(lambda x, a: x[:, a])(planar, anc)
-    ok_gather = bool(jnp.all(out[:, 1:3] == ref[:, 1:3]))
+    ok_gather = bool(jnp.all(g == ref))
 
-    # trend-increment statistics: (x' − x_anc)·exp(−½ logσε_anc) ≈ N(0,1)
-    z = np.asarray((out[:, 0] - ref[:, 0]) * jnp.exp(-0.5 * ref[:, 1]))
+    # 2. propagate kernel on the gathered cloud: trend-increment statistics
+    # (x' − x_anc)·exp(−½ logσε_anc) ≈ N(0, 1) exercises the on-chip PRNG
+    gam = jnp.full((m,), 0.2, jnp.float32)
+    x, lse, lsn, logw = ucsv_propagate_reweight(
+        7, 1.3, gam, gam, g[:, 0], g[:, 1], g[:, 2]
+    )
+    z = np.asarray((x - ref[:, 0]) * jnp.exp(-0.5 * ref[:, 1]))
     ok_stats = abs(z.mean()) < 0.05 and abs(z.std() - 1.0) < 0.05
 
-    # logw is the N(x', exp(½ logσn'))-density of y — deterministic
-    x, lsn = out[:, 0], out[:, 2]
+    # 3. logw is the N(x', exp(½ logσn'))-density of y — deterministic
     zz = (1.3 - x) * jnp.exp(-0.5 * lsn)
     expect = -0.5 * zz * zz - 0.5 * lsn - 0.5 * np.log(2 * np.pi)
     ok_logw = bool(jnp.allclose(logw, expect, rtol=1e-5, atol=1e-5))
@@ -77,45 +78,8 @@ def validate(m, n):
     return ok_gather and ok_stats and ok_logw
 
 
-def time_fused(m, n, iters):
-    planar = jnp.pad(
-        jax.random.normal(jax.random.key(1), (m, 3, n)), ((0, 0), (0, 5), (0, 0))
-    ).astype(jnp.float32)
-    logw0 = jnp.zeros((m, n), jnp.float32)
-    gam = jnp.full((m, 2), 0.2, jnp.float32)
-
-    @jax.jit
-    def chain(key, planar, logw):
-        def body(carry, inp):
-            planar, logw = carry
-            k, seed = inp
-            u = systematic_uniforms(k, m, n, dtype=jnp.float32)
-            w = jnp.exp(logw - jax.scipy.special.logsumexp(logw, axis=-1,
-                                                           keepdims=True))
-            planar, lw = ucsv_walk_step(seed, 1.3, gam, u, w, planar)
-            return (planar, lw), None
-
-        keys = jax.random.split(key, iters)
-        seeds = jnp.arange(iters, dtype=jnp.int32)
-        (planar, logw), _ = jax.lax.scan(body, (planar, logw), (keys, seeds))
-        return planar, logw
-
-    def run_once(k):
-        out = chain(k, planar, logw0)
-        # host fetch: block_until_ready does not reliably block over the
-        # axon tunnel (PERF_NOTES.md) — a value fetch does
-        return float(jnp.sum(out[1][0, :8]))
-
-    run_once(jax.random.key(3))
-    t0 = time.perf_counter()
-    run_once(jax.random.key(4))
-    return (time.perf_counter() - t0) / iters * 1e3
-
-
 def time_two_kernel(m, n, iters):
-    planar = jnp.pad(
-        jax.random.normal(jax.random.key(1), (m, 3, n)), ((0, 0), (0, 5), (0, 0))
-    ).astype(jnp.float32)
+    planar = jax.random.normal(jax.random.key(1), (m, 3, n)).astype(jnp.float32)
     logw0 = jnp.zeros((m, n), jnp.float32)
     gam = jnp.full((m,), 0.2, jnp.float32)
 
@@ -131,10 +95,7 @@ def time_two_kernel(m, n, iters):
             x, lse, lsn, lw = ucsv_propagate_reweight(
                 seed, 1.3, gam, gam, g[:, 0], g[:, 1], g[:, 2]
             )
-            planar = jnp.concatenate(
-                [x[:, None], lse[:, None], lsn[:, None],
-                 jnp.zeros((m, 5, n), jnp.float32)], axis=1
-            )
+            planar = jnp.stack([x, lse, lsn], axis=1)
             return (planar, lw), None
 
         keys = jax.random.split(key, iters)
@@ -167,10 +128,9 @@ def main():
         if not ok:
             raise SystemExit("validation FAILED")
 
-    ms_fused = time_fused(args.m, args.n, args.iters)
     ms_two = time_two_kernel(args.m, args.n, args.iters)
-    print(f"(M={args.m}, N={args.n}) fused walk+propagate: {ms_fused:.3f} "
-          f"ms/step vs two-kernel {ms_two:.3f} ms/step", flush=True)
+    print(f"(M={args.m}, N={args.n}) two-kernel resample+propagate: "
+          f"{ms_two:.3f} ms/step", flush=True)
 
 
 if __name__ == "__main__":

@@ -2,12 +2,15 @@
 
 Resample+gather generations (all bitwise-equal to searchsorted+take):
 ``resample_pallas.resample_gather`` (dense f32), ``resample_gather_bytes``
-(dense int8 byte-plane), ``resample_banded`` (windowed, superseded), and
-``resample_walk`` (monotone chunk-walk — the one the filters route to).
-UC-SV model kernels: ``ucsv_pallas`` (fused propagate+reweight, the
-two-kernel route / sharded path) and ``ucsv_walk_pallas`` (whole-step
-walk+propagate+reweight fusion — the default single-chip UC-SV route;
-replaced round 1's ``ucsv_step_pallas`` mega-kernel, which measured slower).
+(dense int8 byte-plane), ``resample_banded`` (windowed, superseded),
+``resample_walk`` (monotone chunk-walk with in-kernel byte-planing — the
+one the filters route to), and ``resample_take_walk`` (lane-gather walk —
+measured slower than the matmul walk, kept as the recorded ablation).
+UC-SV model kernel: ``ucsv_pallas`` (fused propagate+reweight). The
+whole-step walk+propagate+reweight mega-kernels (round 1's
+``ucsv_step_pallas``, round 2's ``ucsv_walk_pallas``) are deleted: both
+lost to the two-kernel route at every measured size because the planar
+layout starves the in-kernel propagate of sublanes (PERF_NOTES.md).
 """
 from .resample_pallas import (
     resample_gather,
@@ -16,7 +19,6 @@ from .resample_pallas import (
     systematic_uniforms,
 )
 from .resample_walk import resample_gather_walk
-from .ucsv_walk_pallas import ucsv_walk_step
 
 __all__ = [
     "resample_gather",
@@ -24,5 +26,4 @@ __all__ = [
     "resample_gather_walk",
     "stratified_uniforms",
     "systematic_uniforms",
-    "ucsv_walk_step",
 ]

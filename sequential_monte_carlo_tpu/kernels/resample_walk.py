@@ -61,18 +61,31 @@ from jax.experimental.pallas import tpu as pltpu
 from .resample_pallas import _to_byte_planes, resample_gather_bytes
 
 
-def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xb_ref, out_ref,
-            *, cw: int):
-    tm, ot, n_tiles = ut_ref.shape
-    c4 = xb_ref.shape[1]
+def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
+            *, cw: int, n_tiles: int, inv_n: float):
+    c4 = xs_ref.shape[1]  # byte planes = 4 · padded components
+    c = c4 // 4
+    tm = cdf_ref.shape[0]
+    ot = out_ref.shape[2] // n_tiles
     g = pl.program_id(0)
+    sys_u = inv_n != 0.0
 
     def tile_body(t, _):
-        # tile's uniforms on sublanes: one-hot over the n_tiles lane axis
-        sel = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_tiles), 2) == t
-        ).astype(jnp.float32)
-        u_t = jnp.sum(ut_ref[...] * sel, axis=2, keepdims=True)  # (TM, OT, 1)
+        if sys_u:
+            # systematic grid generated in place: u_i = (i + u0)·(1/N),
+            # exact (N is a power of two) and bitwise-equal to the host
+            # grid — kills the (M, N) uniform materialization + transpose
+            # (~1 ms/call at 512×8192, PERF_NOTES.md round 3)
+            iota = jax.lax.broadcasted_iota(jnp.float32, (tm, ot, 1), 1)
+            base = (t * ot).astype(jnp.float32)
+            u_t = (base + iota + ut_ref[...].reshape(tm, 1, 1)) * inv_n
+        else:
+            # tile's uniforms on sublanes: one-hot over the n_tiles lane
+            # axis of the host-transposed (M, OT, n_tiles) grid
+            sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_tiles), 2) == t
+            ).astype(jnp.float32)
+            u_t = jnp.sum(ut_ref[...] * sel, axis=2, keepdims=True)
         ks = ks_ref[g * n_tiles + t]
         ke = ke_ref[g * n_tiles + t]
 
@@ -81,7 +94,7 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xb_ref, out_ref,
             hi = cdf_ref[:, :, pl.ds(k * cw, cw)]
             band = ((u_t > lo) & (u_t <= hi)).astype(jnp.int8)  # (TM, OT, CW)
             return acc + jax.lax.dot_general(
-                xb_ref[:, :, pl.ds(k * cw, cw)],  # (TM, 4C, CW) int8
+                xs_ref[:, :, pl.ds(k * cw, cw)],  # (TM, 4C, CW) int8 planes
                 band,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32,
@@ -91,7 +104,6 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xb_ref, out_ref,
             ks, ke, chunk_body, jnp.zeros((tm, c4, ot), jnp.int32)
         )
 
-        c = c4 // 4
         b0 = acc[:, 0 * c : 1 * c, :] & 0xFF
         b1 = acc[:, 1 * c : 2 * c, :] & 0xFF
         b2 = acc[:, 2 * c : 3 * c, :] & 0xFF
@@ -108,12 +120,13 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xb_ref, out_ref,
 @functools.partial(jax.jit, static_argnames=("tm", "ot", "cw", "interpret"))
 def resample_gather_walk(u, weights, xs, tm: int | None = None,
                          ot: int = 128, cw: int = 128,
-                         interpret: bool = False):
+                         interpret: bool = False, u0=None):
     """Fused sorted-uniform resample + ancestor gather, chunk-walk kernel.
 
     Args:
       u:       (M, N) SORTED uniforms in [0, 1) per row (systematic /
-               stratified grids — ``systematic_uniforms``).
+               stratified grids — ``systematic_uniforms``). May be None
+               when ``u0`` is given.
       weights: (M, N) non-negative, need not be normalized.
       xs:      (M, C, N) f32 particle cloud, components in sublanes.
       tm:      θ-rows per grid step (VMEM-bound; default by N).
@@ -121,12 +134,21 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                write offset stride, so must be a 128-multiple).
       cw:      CDF chunk width (128-multiple — chunk slices must sit at
                128-multiple lane offsets).
+      u0:      (M, 1) systematic offsets. When given (and N is a power of
+               two so the /N scaling is exact) the kernel generates the
+               grid u_i = (i + u0)/N in place — bitwise-equal to passing
+               ``systematic_uniforms`` output, without materializing or
+               transposing the (M, N) grid host-side.
 
     Returns (M, C, N) f32: ``xs`` gathered by the systematic ancestors —
     bitwise-equal to searchsorted(cdf, u, side="left") + take, the same tie
     semantics as ``resample_gather`` / ``resample_gather_bytes``.
     """
-    m, n = u.shape
+    m, n = weights.shape
+    sys_u = u0 is not None and (n & (n - 1)) == 0
+    if u0 is not None and not sys_u:
+        i = jnp.arange(n, dtype=weights.dtype)[None, :]
+        u = (i + u0) / n
     if tm is None:
         # swept on v5e (2026-08-19, host-fetch-synced, free-slice kernel):
         # N=8192: (tm=8, ot=128, cw=128) = 6.56 ms best; tm=8/ot=256/cw∈
@@ -136,12 +158,18 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     while m % tm:
         tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:
+        if u is None:
+            i = jnp.arange(n, dtype=weights.dtype)[None, :]
+            u = (i + u0) / n
         return resample_gather_bytes(u, weights, xs, interpret=interpret)
     c = xs.shape[1]
-    c_pad = -(-c // 8) * 8
+    # byte-plane the cloud, padding components only to the next multiple
+    # of 4 (not 8): the matmul LHS carries 4·c_pad int8 rows, and halving
+    # the dead planes halves both the conversion pass and the per-visit
+    # operand streaming (roofline, PERF_NOTES.md round 3)
+    c_pad = -(-c // 4) * 4
     xs_p = jnp.pad(xs, ((0, 0), (0, c_pad - c), (0, 0))) if c_pad != c else xs
-    xb = _to_byte_planes(xs_p)  # (M, 4C, N) int8
-
+    xb = _to_byte_planes(xs_p)  # (M, 4·c_pad, N) int8
     cdf = jnp.cumsum(weights, axis=-1)
     cdf = cdf / cdf[..., -1:]
     cdf = cdf.at[..., -1].set(jnp.float32(1.0) + 1e-6)
@@ -155,8 +183,14 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     # searchsorted): first chunk whose end-CDF covers the tile's first /
     # last uniform; ancestors are sorted so these bracket every output.
     chunk_ends = cdf[:, cw - 1 :: cw]  # (M, n_chunks)
-    u_first = u[:, ::ot]  # (M, n_tiles)
-    u_last = u[:, ot - 1 :: ot]
+    if sys_u:
+        # the systematic grid's tile edges, computed from u0 alone
+        base = jnp.arange(n_tiles, dtype=weights.dtype)[None, :] * ot
+        u_first = (base + u0) / n  # (M, n_tiles)
+        u_last = (base + (ot - 1) + u0) / n
+    else:
+        u_first = u[:, ::ot]  # (M, n_tiles)
+        u_last = u[:, ot - 1 :: ot]
     k_start = jnp.sum(
         chunk_ends[:, :, None] < u_first[:, None, :], axis=1, dtype=jnp.int32
     )
@@ -169,15 +203,21 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     gks = k_start.reshape(n_groups, tm, n_tiles).min(axis=1)
     gke = (k_last.reshape(n_groups, tm, n_tiles).max(axis=1) + 1)
 
-    # host-transposed u: (M, OT, n_tiles); tile t's uniforms on sublanes
-    u_t = jnp.swapaxes(u.reshape(m, n_tiles, ot), 1, 2)
+    if sys_u:
+        u_in = u0
+        u_spec = pl.BlockSpec((tm, 1), lambda g, ks, ke: (g, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        # host-transposed u: (M, OT, n_tiles); tile t's uniforms on sublanes
+        u_in = jnp.swapaxes(u.reshape(m, n_tiles, ot), 1, 2)
+        u_spec = pl.BlockSpec((tm, ot, n_tiles), lambda g, ks, ke: (g, 0, 0),
+                              memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # gks, gke (flat)
         grid=(n_groups,),
         in_specs=[
-            pl.BlockSpec((tm, ot, n_tiles), lambda g, ks, ke: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
+            u_spec,
             pl.BlockSpec((tm, 1, n), lambda g, ks, ke: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, 1, n), lambda g, ks, ke: (g, 0, 0),
@@ -189,16 +229,17 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, cw=cw),
+        functools.partial(_kernel, cw=cw, n_tiles=n_tiles,
+                          inv_n=(1.0 / n) if sys_u else 0.0),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, c_pad, n), jnp.float32),
         interpret=interpret,
     )(
         gks.reshape(-1),
         gke.reshape(-1),
-        u_t,
+        u_in,
         cdf[:, None, :],
         cdf_prev[:, None, :],
         xb,
     )
-    return out[:, :c, :]
+    return out if c_pad == c else out[:, :c, :]

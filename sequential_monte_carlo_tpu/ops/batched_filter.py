@@ -86,66 +86,6 @@ def _interpret_ctx():
     return pltpu.force_tpu_interpret_mode()
 
 
-def _ucsv_full_fusion(config: PFConfig, models, n: int) -> bool:
-    """The single-kernel UC-SV step (kernels/ucsv_walk_pallas.py): chunk-walk
-    resample + propagate + reweight fused, per-tile pipelined — the rewrite
-    of round 1's ``ucsv_step_pallas`` mega-kernel (which propagated only on
-    the last grid step and was deleted). Still opt-in ("max"): with best
-    tilings on v5e the two-kernel route wins at every size (9.96 vs 10.38
-    ms/step at 512×8192, 1.26 vs 1.50 at 512×1024) — the planar layout
-    forces the in-kernel propagate onto 1/8 of the sublanes, which costs
-    more than the saved kernel launch + HBM round trip. Kept because its
-    planar-carry masked-LL scan is transpose-free and the measured gap is
-    small; see PERF_NOTES.md round-2 section."""
-    from ..models.ucsv import UCSVModel
-
-    return (
-        n % 256 == 0
-        and getattr(config, "fused_resample", "auto") == "max"
-        and config.resampling in ("systematic", "stratified", "residual_systematic")
-        and config.ess_threshold >= 1.0
-        and isinstance(models, UCSVModel)
-        and jax.default_backend() == "tpu"  # interpret PRNG is a zeros stub
-        and getattr(config, "mesh", None) is None  # single-chip only
-    )
-
-
-def _to_planar(particles):
-    """(M, N, 3) → (M, 8, N): components in sublanes, particles in lanes."""
-    p = jnp.swapaxes(particles, 1, 2)
-    return jnp.pad(p, ((0, 0), (0, 8 - p.shape[1]), (0, 0)))
-
-
-def _from_planar(planar, dx=3):
-    return jnp.swapaxes(planar[:, :dx, :], 1, 2)
-
-
-def _make_sorted_u(key, config, m, n, dtype):
-    make = (
-        systematic_uniforms
-        if config.resampling in ("systematic", "residual_systematic")
-        else stratified_uniforms
-    )
-    return make(key, m, n, dtype=dtype)
-
-
-def _ucsv_fused_call(k_res, k_prop, models, weights, planar, y, config):
-    """One fused UC-SV kernel step on a planar cloud; returns (planar', logw)."""
-    from ..kernels.ucsv_walk_pallas import ucsv_walk_step
-
-    m, n = weights.shape
-    u = _make_sorted_u(k_res, config, m, n, weights.dtype)
-    seed = jax.random.randint(k_prop, (), 0, jnp.iinfo(jnp.int32).max)
-    gammas = jnp.stack(
-        [
-            jnp.broadcast_to(models.gamma_eps, (m,)),
-            jnp.broadcast_to(models.gamma_eta, (m,)),
-        ],
-        axis=-1,
-    )
-    return ucsv_walk_step(seed, y, gammas, u, weights, planar)
-
-
 def _row_normalize(logw, log_n=None):
     """Per-row log-sum-exp normalize; returns (log_norm, lse, ess). With
     ``log_n`` given, lse is shifted to the log-MEAN (evidence) form."""
@@ -211,32 +151,18 @@ def batched_pf_step(key, models, particles, log_w, y,
     k_res, k_prop = jax.random.split(key)
     w = jnp.exp(log_w)
 
-    if active_n is None and _ucsv_full_fusion(config, models, n):
-        with jax.named_scope("pf_step_fully_fused"):
-            planar, logw = _ucsv_fused_call(
-                k_res, k_prop, models, w, _to_planar(particles), y, config
-            )
-            x_new = _from_planar(planar)
-            log_n = jnp.log(jnp.asarray(float(n), dtype=log_w.dtype))
-            tot = logw - log_n
-            maxw = jnp.max(tot, axis=-1, keepdims=True)
-            maxw = jnp.where(jnp.isfinite(maxw), maxw, 0.0)
-            lse = maxw + jnp.log(
-                jnp.sum(jnp.exp(tot - maxw), axis=-1, keepdims=True)
-            )
-            log_norm = tot - lse
-            ess = 1.0 / jnp.sum(jnp.exp(2.0 * log_norm), axis=-1)
-            return BatchedPFOut(x_new, log_norm, jnp.squeeze(lse, -1), ess)
-
     with jax.named_scope("pf_resample"):
         if _use_fused(config):
+            u0 = None
             if active_n is None:
-                make_u = (
-                    systematic_uniforms
-                    if config.resampling in ("systematic", "residual_systematic")
-                    else stratified_uniforms
-                )
-                u = make_u(k_res, m, n, dtype=w.dtype)
+                if config.resampling in ("systematic", "residual_systematic"):
+                    # systematic: hand the kernel only the (M, 1) offsets —
+                    # the grid (i + u0)/N is generated in-kernel, bitwise
+                    # equal to systematic_uniforms (PERF_NOTES.md round 3)
+                    u0 = jax.random.uniform(k_res, (m, 1), dtype=w.dtype)
+                    u = None
+                else:
+                    u = stratified_uniforms(k_res, m, n, dtype=w.dtype)
             else:
                 u = _elastic_sorted_u(k_res, config, m, n, active_n, w.dtype)
             # monotone chunk-walk kernel: exact at any weight distribution,
@@ -245,6 +171,14 @@ def batched_pf_step(key, models, particles, log_w, y,
             # the dense kernel itself for non-divisible shapes
             from ..kernels.resample_walk import resample_gather_walk
 
+            if u0 is not None:
+                gather_fn = lambda u_, w_, xs_: resample_gather_walk(  # noqa: E731
+                    None, w_, xs_, u0=u_
+                )
+                u_arg = u0
+            else:
+                gather_fn = resample_gather_walk
+                u_arg = u
             mesh, theta_sharded, _ = _mesh_info(config)
             xs_t = particles.transpose(0, 2, 1)
             if theta_sharded:
@@ -257,7 +191,7 @@ def batched_pf_step(key, models, particles, log_w, y,
 
                 with _interpret_ctx():
                     gathered = jax.shard_map(
-                        resample_gather_walk,
+                        gather_fn,
                         mesh=mesh,
                         in_specs=(
                             P(THETA_AXIS, None),
@@ -266,12 +200,10 @@ def batched_pf_step(key, models, particles, log_w, y,
                         ),
                         out_specs=P(THETA_AXIS, None, None),
                         check_vma=False,  # pallas_call can't annotate vma
-                    )(u, w, xs_t).transpose(0, 2, 1)
+                    )(u_arg, w, xs_t).transpose(0, 2, 1)
             else:
                 with _interpret_ctx():
-                    gathered = resample_gather_walk(u, w, xs_t).transpose(
-                        0, 2, 1
-                    )
+                    gathered = gather_fn(u_arg, w, xs_t).transpose(0, 2, 1)
         elif active_n is None:
             keys = jax.random.split(k_res, m)
             anc = jax.vmap(
@@ -378,49 +310,11 @@ def batched_pf_step(key, models, particles, log_w, y,
     return BatchedPFOut(x_new, log_norm, log_mean, ess)
 
 
-def _ucsv_masked_ll(key, models, n, m, y, mask, config: PFConfig):
-    """Planar-carry masked LL for the fully-fused UC-SV path: the cloud stays
-    in (M, 8, N) layout for the whole scan — one kernel and a handful of
-    (M, N) reductions per live step, zero transposes."""
-    k0, k_scan = jax.random.split(key)
-    init = batched_pf_init(k0, models, n, m, y[0])
-    log_n = jnp.log(jnp.asarray(float(n), dtype=init.log_weights.dtype))
-
-    def step(carry, inp):
-        k, yt, mt = inp
-
-        def live(c):
-            planar, log_norm, acc = c
-            k_res, k_prop = jax.random.split(k)
-            planar_new, logw = _ucsv_fused_call(
-                k_res, k_prop, models, jnp.exp(log_norm), planar, yt, config
-            )
-            tot = logw - log_n
-            maxw = jnp.max(tot, axis=-1, keepdims=True)
-            maxw = jnp.where(jnp.isfinite(maxw), maxw, 0.0)
-            lse = maxw + jnp.log(
-                jnp.sum(jnp.exp(tot - maxw), axis=-1, keepdims=True)
-            )
-            return (planar_new, tot - lse, acc + jnp.squeeze(lse, -1))
-
-        return jax.lax.cond(mt > 0, live, lambda c: c, carry), None
-
-    keys = jax.random.split(k_scan, y.shape[0] - 1)
-    (planar, log_norm, logz), _ = jax.lax.scan(
-        step,
-        (_to_planar(init.particles), init.log_weights, init.log_mean),
-        (keys, y[1:], mask[1:]),
-    )
-    return _from_planar(planar), log_norm, logz
-
-
 def batched_log_likelihood_masked(key, models, n, m, y, mask,
                                   config: PFConfig = PFConfig(),
                                   active_n=None):
     """Masked-prefix logZ for all M θ at once — the rejuvenation inner loop
     (≡ M× particles.jl:132-147 over y[1:t])."""
-    if active_n is None and _ucsv_full_fusion(config, models, n):
-        return _ucsv_masked_ll(key, models, n, m, y, mask, config)
     k0, k_scan = jax.random.split(key)
     init = batched_pf_init(k0, models, n, m, y[0], active_n)
 

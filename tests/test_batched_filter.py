@@ -224,42 +224,43 @@ def test_resample_gather_walk_non_divisible_falls_back():
     assert bool(jnp.all(out == ref))
 
 
-# ---- fused walk+propagate UC-SV kernel (interpret mode) --------------------
+# ---- fused UC-SV propagate+reweight kernel (interpret mode) ----------------
+# (The whole-step walk+propagate mega-kernel was deleted in round 3: it lost
+# to this two-kernel route at every measured size — PERF_NOTES.md.)
 
-def _ucsv_walk_setup(M=2, N=1024, gamma=(0.0, 0.0), seed=7):
-    from sequential_monte_carlo_tpu.kernels.ucsv_walk_pallas import (
-        ucsv_walk_step,
-    )
+def _ucsv_prop_setup(M=2, N=1024, gamma=(0.0, 0.0), seed=7):
     from jax.experimental.pallas import tpu as pltpu
 
-    w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (M, N)) * 2)
-    planar = jnp.pad(
-        jax.random.normal(jax.random.key(1), (M, 3, N)), ((0, 0), (0, 5), (0, 0))
+    from sequential_monte_carlo_tpu.kernels.ucsv_pallas import (
+        ucsv_propagate_reweight,
+    )
+
+    planar = jax.random.normal(
+        jax.random.key(1), (M, 3, N)
     ).astype(jnp.float32)
-    u = systematic_uniforms(jax.random.key(2), M, N)
-    gammas = jnp.broadcast_to(jnp.asarray(gamma, jnp.float32), (M, 2))
+    ge = jnp.full((M,), gamma[0], jnp.float32)
+    gn = jnp.full((M,), gamma[1], jnp.float32)
     with pltpu.force_tpu_interpret_mode():
-        out, logw = ucsv_walk_step(seed, 1.3, gammas, u, w, planar, tm=2)
-    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
-    ref = jax.vmap(lambda x, a: x[:, a])(planar, anc)
-    return out, logw, ref
+        x, lse, lsn, logw = ucsv_propagate_reweight(
+            seed, 1.3, ge, gn, planar[:, 0], planar[:, 1], planar[:, 2]
+        )
+    return planar, x, lse, lsn, logw
 
 
-def test_ucsv_walk_step_gather_bitwise():
-    """γ=0 freezes the log-vol rows ⇒ rows 1,2 are the pure walk-gather —
-    bitwise-equal to searchsorted+take; rows 3..7 stay zero-padded."""
-    out, logw, ref = _ucsv_walk_setup(gamma=(0.0, 0.0))
-    assert bool(jnp.all(out[:, 1:3] == ref[:, 1:3]))
-    assert bool(jnp.all(out[:, 3:] == ref[:, 3:]))
+def test_ucsv_propagate_gamma_zero_freezes_vols():
+    """γ=0 makes both log-vol random walks degenerate: the returned lse/lsn
+    must be bitwise the inputs, independent of the PRNG draws."""
+    planar, x, lse, lsn, _ = _ucsv_prop_setup(gamma=(0.0, 0.0))
+    assert bool(jnp.all(lse == planar[:, 1]))
+    assert bool(jnp.all(lsn == planar[:, 2]))
 
 
-def test_ucsv_walk_step_logw_consistent():
+def test_ucsv_propagate_logw_consistent():
     """logw must equal the N(x', exp(½ logσn'))-density of y at the
     returned state — deterministic given the outputs."""
     import math
 
-    out, logw, _ = _ucsv_walk_setup(gamma=(0.3, 0.2))
-    x, lsn = out[:, 0], out[:, 2]
+    _, x, _, lsn, logw = _ucsv_prop_setup(gamma=(0.3, 0.2))
     zz = (1.3 - x) * jnp.exp(-0.5 * lsn)
     expect = -0.5 * zz * zz - 0.5 * lsn - 0.5 * math.log(2 * math.pi)
     np.testing.assert_allclose(np.asarray(logw), np.asarray(expect),
@@ -273,9 +274,9 @@ def test_ucsv_walk_step_logw_consistent():
     "properly?') — the draw statistics are only real on hardware; "
     "benchmarks/validate_tpu.py runs this check on the chip",
 )
-def test_ucsv_walk_step_trend_increment_statistics():
-    """x' − x_gathered scaled by exp(−½ logσε_gathered) ≈ N(0, 1)."""
-    out, _, ref = _ucsv_walk_setup(M=2, N=2048, gamma=(0.0, 0.0))
-    z = np.asarray((out[:, 0] - ref[:, 0]) * jnp.exp(-0.5 * ref[:, 1]))
+def test_ucsv_propagate_trend_increment_statistics():
+    """(x' − x)·exp(−½ logσε) ≈ N(0, 1) — on-chip PRNG statistics."""
+    planar, x, _, _, _ = _ucsv_prop_setup(M=2, N=2048, gamma=(0.0, 0.0))
+    z = np.asarray((x - planar[:, 0]) * jnp.exp(-0.5 * planar[:, 1]))
     assert abs(z.mean()) < 0.05
     assert abs(z.std() - 1.0) < 0.05
