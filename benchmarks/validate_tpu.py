@@ -58,6 +58,19 @@ def validate(m, n):
     ref = jax.vmap(lambda x, a: x[:, a])(planar, anc)
     ok_gather = bool(jnp.all(g == ref))
 
+    # 1b. the in-kernel systematic-grid route (u0) — the one the samplers
+    # actually dispatch — matches the host-grid route bitwise ON HARDWARE.
+    # (Interpret mode cannot certify this: round 3 found a float-iota op
+    # that verified on CPU interpret but failed Mosaic compilation.)
+    u0 = jax.random.uniform(jax.random.key(3), (m, 1), dtype=jnp.float32)
+    u_grid = (jnp.arange(n, dtype=jnp.float32)[None, :] + u0) / n
+    ok_u0 = bool(
+        jnp.all(
+            resample_gather_walk(None, w, planar, u0=u0)
+            == resample_gather_walk(u_grid, w, planar)
+        )
+    )
+
     # 2. propagate kernel on the gathered cloud: trend-increment statistics
     # (x' − x_anc)·exp(−½ logσε_anc) ≈ N(0, 1) exercises the on-chip PRNG
     gam = jnp.full((m,), 0.2, jnp.float32)
@@ -73,9 +86,10 @@ def validate(m, n):
     ok_logw = bool(jnp.allclose(logw, expect, rtol=1e-5, atol=1e-5))
 
     print(f"validate (M={m}, N={n}): gather_bitwise={ok_gather} "
+          f"u0_route_bitwise={ok_u0} "
           f"stats(mean={z.mean():+.4f}, std={z.std():.4f})={ok_stats} "
           f"logw={ok_logw}", flush=True)
-    return ok_gather and ok_stats and ok_logw
+    return ok_gather and ok_u0 and ok_stats and ok_logw
 
 
 def time_two_kernel(m, n, iters):

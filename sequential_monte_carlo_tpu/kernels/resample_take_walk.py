@@ -30,11 +30,17 @@ This generation replaces the selection *matmul* with the hardware lane
     chunk bounds, host-transposed uniforms, (M/TM,) grid) is inherited
     from gen 4.
 
-Per-visit work: one (TM, OT, CW) f32 compare + one lane reduction + one
-(TM·C8, OT) gather + selects ≈ half of gen 4's mask work, with zero MXU
-traffic and ~2 MB less VMEM per group. Measured on v5e (PERF_NOTES.md
-round 3): 4.5 ms at (512, 8192) vs 8.1 ms gen 4 (incl. prep), 0.62 ms at
-(512, 1024) vs 0.83 ms.
+OUTCOME (measured on v5e, 2026-08-20, `benchmarks/bench_take_walk.py`):
+the theory did not survive contact — **16.2 ms at (512, 8192) vs 7.5 ms
+for gen 4** (incl. prep), every tm ∈ {4, 8}. The single count-compare is
+real, but the design pays for it twice elsewhere: the walk runs TWO
+fori_loops per tile (count + gather) instead of one, and the per-visit
+`take_along_axis` + masked-select over (TM·C8, OT) costs more VPU time
+than the int8 selection matmul it replaces (the MXU issue latency gen 4
+pays is cheaper than gen 5's gather+select ALU volume). `ot=cw` is also
+pinned at 128 — Mosaic's `dynamic_gather` cannot span >128 lanes, so the
+wider tilings that help gen 4 don't compile here. Kept un-routed as the
+recorded ablation; gen 4 (`resample_walk.py`) remains the champion.
 """
 from __future__ import annotations
 
@@ -70,7 +76,10 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, xs_ref, out_ref, *, cw: int):
         # f32 keepdims reductions — int/bool lane reductions unroll badly
         # in Mosaic (multi-kB scf.yield dumps) while this lowers clean.
         def count_body(k, anc):
-            hi = cdf_ref[:, :, pl.ds(k * cw, cw)]  # (TM, 1, CW)
+            # cdf ref is (1, TM, N): a (TM, 1, N) block would pay the 1→8
+            # sublane padding (2 MB instead of 256 KB at N=8192) and blow
+            # the 16 MB scoped-VMEM limit — see PERF_NOTES "VMEM discipline"
+            hi = cdf_ref[0, :, pl.ds(k * cw, cw)][:, None, :]  # (TM, 1, CW)
             return anc + jnp.sum(
                 (u_t > hi).astype(jnp.float32), axis=2, keepdims=True
             )
@@ -131,7 +140,9 @@ def resample_gather_take(u, weights, xs, tm: int | None = None,
     """
     m, n = u.shape
     if tm is None:
-        tm = 8
+        # large N: halve the θ-rows per grid step to stay inside the 16 MB
+        # scoped-VMEM limit (the (tm, 8, N) f32 cloud + out blocks dominate)
+        tm = 4 if n >= 4096 else 8
     while m % tm:
         tm -= 1
     if ot != cw or n % ot or n % cw or m % tm or n < 2 * cw:
@@ -172,7 +183,7 @@ def resample_gather_take(u, weights, xs, tm: int | None = None,
         in_specs=[
             pl.BlockSpec((tm, ot, n_tiles), lambda g, ks, ke: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tm, 1, n), lambda g, ks, ke: (g, 0, 0),
+            pl.BlockSpec((1, tm, n), lambda g, ks, ke: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, c8, n), lambda g, ks, ke: (g, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -189,7 +200,7 @@ def resample_gather_take(u, weights, xs, tm: int | None = None,
         gks.reshape(-1),
         gke.reshape(-1),
         u_t,
-        cdf[:, None, :],
+        cdf.reshape(n_groups, tm, n),
         xs_p,
     )
     return out[:, :c, :]

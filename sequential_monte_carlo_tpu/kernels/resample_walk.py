@@ -62,30 +62,23 @@ from .resample_pallas import _to_byte_planes, resample_gather_bytes
 
 
 def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
-            *, cw: int, n_tiles: int, inv_n: float):
+            *, cw: int):
+    tm, ot, n_tiles = ut_ref.shape
     c4 = xs_ref.shape[1]  # byte planes = 4 · padded components
     c = c4 // 4
-    tm = cdf_ref.shape[0]
-    ot = out_ref.shape[2] // n_tiles
     g = pl.program_id(0)
-    sys_u = inv_n != 0.0
 
     def tile_body(t, _):
-        if sys_u:
-            # systematic grid generated in place: u_i = (i + u0)·(1/N),
-            # exact (N is a power of two) and bitwise-equal to the host
-            # grid — kills the (M, N) uniform materialization + transpose
-            # (~1 ms/call at 512×8192, PERF_NOTES.md round 3)
-            iota = jax.lax.broadcasted_iota(jnp.float32, (tm, ot, 1), 1)
-            base = (t * ot).astype(jnp.float32)
-            u_t = (base + iota + ut_ref[...].reshape(tm, 1, 1)) * inv_n
-        else:
-            # tile's uniforms on sublanes: one-hot over the n_tiles lane
-            # axis of the host-transposed (M, OT, n_tiles) grid
-            sel = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_tiles), 2) == t
-            ).astype(jnp.float32)
-            u_t = jnp.sum(ut_ref[...] * sel, axis=2, keepdims=True)
+        # tile's uniforms on sublanes: one-hot over the n_tiles lane
+        # axis of the host-transposed (M, OT, n_tiles) grid.
+        # (An in-kernel systematic grid from the scalar u0 was tried TWICE
+        # and measured SLOWER both times — round 3: 10.7 vs 7.5 ms/call at
+        # 512×8192; the (TM, OT, 1) sublane-thin f32 arithmetic per tile
+        # costs more than this one-hot extraction. Don't re-add it.)
+        sel = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_tiles), 2) == t
+        ).astype(jnp.float32)
+        u_t = jnp.sum(ut_ref[...] * sel, axis=2, keepdims=True)
         ks = ks_ref[g * n_tiles + t]
         ke = ke_ref[g * n_tiles + t]
 
@@ -134,21 +127,18 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                write offset stride, so must be a 128-multiple).
       cw:      CDF chunk width (128-multiple — chunk slices must sit at
                128-multiple lane offsets).
-      u0:      (M, 1) systematic offsets. When given (and N is a power of
-               two so the /N scaling is exact) the kernel generates the
-               grid u_i = (i + u0)/N in place — bitwise-equal to passing
-               ``systematic_uniforms`` output, without materializing or
-               transposing the (M, N) grid host-side.
+      u0:      (M, 1) systematic offsets. When given, the grid
+               u_i = (i + u0)/N is built directly in the kernel's
+               transposed layout — bitwise-equal to passing
+               ``systematic_uniforms`` output, without materializing the
+               (M, N) grid and relayouting it host-side.
 
     Returns (M, C, N) f32: ``xs`` gathered by the systematic ancestors —
     bitwise-equal to searchsorted(cdf, u, side="left") + take, the same tie
     semantics as ``resample_gather`` / ``resample_gather_bytes``.
     """
     m, n = weights.shape
-    sys_u = u0 is not None and (n & (n - 1)) == 0
-    if u0 is not None and not sys_u:
-        i = jnp.arange(n, dtype=weights.dtype)[None, :]
-        u = (i + u0) / n
+    sys_u = u0 is not None
     if tm is None:
         # swept on v5e (2026-08-19, host-fetch-synced, free-slice kernel):
         # N=8192: (tm=8, ot=128, cw=128) = 6.56 ms best; tm=8/ot=256/cw∈
@@ -204,14 +194,21 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     gke = (k_last.reshape(n_groups, tm, n_tiles).max(axis=1) + 1)
 
     if sys_u:
-        u_in = u0
-        u_spec = pl.BlockSpec((tm, 1), lambda g, ks, ke: (g, 0),
-                              memory_space=pltpu.VMEM)
+        # systematic grid u_i = (i + u0)/n built DIRECTLY in the kernel's
+        # transposed (M, OT, n_tiles) layout: one fused XLA elementwise
+        # pass, no (M, N) materialization and no relayout. Bitwise ≡
+        # systematic_uniforms(...) then reshape+swapaxes: the index
+        # i = t·ot + o is exact in f32 and the (i + u0)/n ops are identical.
+        idx = (
+            jnp.arange(ot, dtype=weights.dtype)[None, :, None]
+            + jnp.arange(n_tiles, dtype=weights.dtype)[None, None, :] * ot
+        )
+        u_in = (idx + u0[:, :, None]) / n
     else:
         # host-transposed u: (M, OT, n_tiles); tile t's uniforms on sublanes
         u_in = jnp.swapaxes(u.reshape(m, n_tiles, ot), 1, 2)
-        u_spec = pl.BlockSpec((tm, ot, n_tiles), lambda g, ks, ke: (g, 0, 0),
-                              memory_space=pltpu.VMEM)
+    u_spec = pl.BlockSpec((tm, ot, n_tiles), lambda g, ks, ke: (g, 0, 0),
+                          memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # gks, gke (flat)
@@ -229,8 +226,7 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, cw=cw, n_tiles=n_tiles,
-                          inv_n=(1.0 / n) if sys_u else 0.0),
+        functools.partial(_kernel, cw=cw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, c_pad, n), jnp.float32),
         interpret=interpret,

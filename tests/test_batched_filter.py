@@ -190,6 +190,29 @@ def test_resample_gather_walk_bitwise(concentration):
     assert bool(jnp.all(out == ref))
 
 
+@pytest.mark.parametrize("concentration", [0.0, 8.0])
+def test_resample_gather_take_bitwise(concentration):
+    """Gen-5 lane-gather walk ≡ searchsorted+take (kept as a recorded
+    ablation — measured slower than the matmul walk on v5e, see its
+    module docstring — but it must stay correct while in the tree)."""
+    from sequential_monte_carlo_tpu.kernels.resample_take_walk import (
+        resample_gather_take,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N, C = 4, 2048, 3
+    w = jax.nn.softmax(
+        jax.random.normal(jax.random.key(0), (M, N)) * concentration
+    )
+    xs = jax.random.normal(jax.random.key(1), (M, C, N))
+    u = systematic_uniforms(jax.random.key(2), M, N)
+    with pltpu.force_tpu_interpret_mode():
+        out = resample_gather_take(u, w, xs, tm=2)
+    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
+    assert bool(jnp.all(out == ref))
+
+
 def test_resample_gather_walk_degenerate_weight():
     """Point-mass weights: the walk needs no fallback (bounded work)."""
     from sequential_monte_carlo_tpu.kernels.resample_walk import (
