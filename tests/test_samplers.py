@@ -96,6 +96,38 @@ def test_smc2_reproducible(lg_setup):
     assert np.array_equal(np.asarray(a.theta), np.asarray(b.theta))
 
 
+def test_dtheta1_kernel_semantics_and_smc2(lg_setup):
+    """dθ=1 path (DEVIATIONS.md §1): the univariate RW kernel uses the
+    COVARIANCE semantics (Σ = 2.83²·var(θ) + jitter, proposal std = √Σ) —
+    the multivariate branch of smc_samplers.jl:95-101 specialized to d=1,
+    NOT the reference's univariate Normal(x, 2.83²·var) std-of-a-variance
+    form (smc_samplers.jl:87-92). Also runs SMC² end-to-end on a
+    one-free-parameter model, which no shipped model otherwise exercises."""
+    from sequential_monte_carlo_tpu.samplers.kernels import rw_kernel_cov
+
+    th = jax.random.normal(jax.random.key(0), (512, 1)) * 0.37 + 1.0
+    sigma = rw_kernel_cov(th, CFG)
+    var = float(jnp.var(th, ddof=1))
+    np.testing.assert_allclose(
+        float(sigma[0, 0]), CFG.rw_scale * var + CFG.cov_jitter, rtol=1e-5
+    )
+
+    _, y = lg_setup
+    prior1 = smc.product_distribution(
+        [smc.LogNormal(jnp.asarray(0.0), jnp.asarray(0.5))]
+    )
+    fixed = jnp.asarray([0.5, 0.9])
+    model1 = lambda th_: smc.lg_model(jnp.concatenate([fixed, th_]))  # noqa: E731
+    cfg = smc.SMCConfig(
+        n_particles=128, n_theta=128, chain=2, ess_threshold=0.5
+    )
+    sampler = smc.SMC2(model1, prior1, cfg)
+    state, infos = sampler.run(jax.random.key(4), y[:40])
+    est = float(smc.expected_parameters(state)[0])
+    # truth: σ_y = 0.8; loose band — 40 obs, 128 θ
+    assert np.isfinite(est) and 0.3 < est < 2.0, est
+
+
 def test_density_tempered_posterior_and_schedule(lg_setup, oracle_mean):
     prior, y = lg_setup
     sampler = smc.SMC2(smc.lg_model, prior, CFG)
