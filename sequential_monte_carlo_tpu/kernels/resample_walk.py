@@ -140,11 +140,16 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     m, n = weights.shape
     sys_u = u0 is not None
     if tm is None:
-        # swept on v5e (2026-08-19, host-fetch-synced, free-slice kernel):
-        # N=8192: (tm=8, ot=128, cw=128) = 6.56 ms best; tm=8/ot=256/cw∈
-        # {128,256} ≈ 6.9, ot=512 7.9, tm=16 OOMs scoped VMEM.
-        # N=1024: see sweep note below.
-        tm = 8
+        # re-swept on v5e 2026-08-20 with c_pad=4 byte planes (which freed
+        # the VMEM that made tm=16 OOM at c_pad=8): tm=16/ot=128 wins at
+        # BOTH N=8192 (6.18 vs 6.84 ms, mild skew; 6.79 vs 7.46 at skew 2;
+        # 10.0 vs 10.7 at skew 8) and N=1024 (1.18 vs 1.25; 1.48 vs 1.72
+        # at skew 2). Caveat: at N=1024 under EXTREME weight skew (σ=8
+        # log-weights) the wider group-union chunk bounds cost more than
+        # the grid savings (2.34 vs 1.75 ms) — atypical for the
+        # always-resample steady state, where weights carry one
+        # observation's increment.
+        tm = 16
     while m % tm:
         tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:
