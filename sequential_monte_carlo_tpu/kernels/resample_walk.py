@@ -10,7 +10,9 @@ to searchsorted(side="left") + take.
 Kernel evolution (measured at M=512, N=8192, v5e; PERF_NOTES.md):
 dense-bytes ≈ 58 ms (VPU-bound N² mask build) → banded ≈ 56 ms (per-step
 windowed-DMA latency + host searchsorted prep) → v3 walk 8.5 ms → this
-"free-slice" walk **6.6 ms**. v3 kept the CDF lane-transposed
+"free-slice" walk **6.2 ms incl. prep** (tm=16, c_pad=4; a gen-5
+lane-gather variant, ``resample_take_walk.py``, measured 16 ms and is
+kept only as the recorded ablation). v3 kept the CDF lane-transposed
 ``(TM, CW, N/CW)`` so a chunk was a width-1 lane column, but extracting it
 cost a full one-hot sweep per chunk visit, and its xor band mask needed
 sublane shift/concat carry bookkeeping — together ~2/3 of per-visit cost.
