@@ -132,6 +132,11 @@ def main():
         smc.lg_model, lg_prior(),
         smc.SMCConfig(n_particles=n4, n_theta=m4, chain=3, ess_threshold=0.5),
     )
+    # compile warm-up (separate key), then time a fresh execution — same
+    # discipline as config 5 / bench.py. Measured 2026-08-20: 37.6 s cold
+    # (remote compiles) vs 0.80 s warm.
+    state, trace = smc.density_tempered(sampler, jax.random.key(50), y)
+    jax.block_until_ready(state.theta)
     t0 = time.perf_counter()
     state, trace = smc.density_tempered(sampler, jax.random.key(5), y)
     jax.block_until_ready(state.theta)
