@@ -71,6 +71,16 @@ def validate(m, n):
         )
     )
 
+    # 1c. degenerate point-mass weights ON HARDWARE at the production
+    # tiling (interpret-mode covers tm=2 only): every output must copy
+    # the single massive ancestor — the walk's bounded-work guarantee.
+    w_deg = jnp.zeros((m, n)).at[:, n // 2].set(1.0)
+    g_deg = resample_gather_walk(u, w_deg, planar)
+    ok_deg = bool(
+        jnp.all(g_deg == jnp.broadcast_to(planar[:, :, n // 2 : n // 2 + 1],
+                                          planar.shape))
+    )
+
     # 2. propagate kernel on the gathered cloud: trend-increment statistics
     # (x' − x_anc)·exp(−½ logσε_anc) ≈ N(0, 1) exercises the on-chip PRNG
     gam = jnp.full((m,), 0.2, jnp.float32)
@@ -86,10 +96,10 @@ def validate(m, n):
     ok_logw = bool(jnp.allclose(logw, expect, rtol=1e-5, atol=1e-5))
 
     print(f"validate (M={m}, N={n}): gather_bitwise={ok_gather} "
-          f"u0_route_bitwise={ok_u0} "
+          f"u0_route_bitwise={ok_u0} degenerate={ok_deg} "
           f"stats(mean={z.mean():+.4f}, std={z.std():.4f})={ok_stats} "
           f"logw={ok_logw}", flush=True)
-    return ok_gather and ok_u0 and ok_stats and ok_logw
+    return ok_gather and ok_u0 and ok_deg and ok_stats and ok_logw
 
 
 def time_two_kernel(m, n, iters):
