@@ -213,6 +213,32 @@ def test_resample_gather_take_bitwise(concentration):
     assert bool(jnp.all(out == ref))
 
 
+def test_resample_gather_walk_u0_route_bitwise():
+    """The (M, 1)-offset route (the one the samplers dispatch for
+    systematic resampling) ≡ passing the materialized grid ≡ the
+    searchsorted+take oracle. NB: interpret mode cannot certify Mosaic
+    lowering — round 3 shipped a float-iota here that was interpret-green
+    and failed hardware compilation; `benchmarks/validate_tpu.py` repeats
+    this check on the chip."""
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        resample_gather_walk,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N, C = 4, 2048, 3
+    w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (M, N)) * 2)
+    xs = jax.random.normal(jax.random.key(1), (M, C, N))
+    u0 = jax.random.uniform(jax.random.key(2), (M, 1))
+    u = (jnp.arange(N, dtype=jnp.float32)[None, :] + u0) / N
+    with pltpu.force_tpu_interpret_mode():
+        out_u0 = resample_gather_walk(None, w, xs, tm=2, u0=u0)
+        out_u = resample_gather_walk(u, w, xs, tm=2)
+    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
+    assert bool(jnp.all(out_u0 == out_u))
+    assert bool(jnp.all(out_u0 == ref))
+
+
 def test_resample_gather_walk_degenerate_weight():
     """Point-mass weights: the walk needs no fallback (bounded work)."""
     from sequential_monte_carlo_tpu.kernels.resample_walk import (
