@@ -1,0 +1,156 @@
+"""Smoothing layer (L2): RTS Kalman smoother + FFBS marginal particle
+smoother.
+
+A beyond-reference capability (charlesknipp/sequential_monte_carlo stops
+at filtering — no smoother exists anywhere in `/root/reference/src`), but
+one users of such a framework routinely need: p(x_t | y_{1:T}) rather
+than p(x_t | y_{1:t}).
+
+Two implementations, one exact oracle + one generic:
+
+- :func:`kalman_smooth` — Rauch–Tung–Striebel backward pass on the exact
+  Kalman filter (linear-Gaussian models only; same per-step quantities as
+  ``ops/kalman.py``, which follows kalman_filter.jl's univariate-
+  observation convention). Exact; used as the test oracle.
+- :func:`smoothed_marginals` — the forward-filter backward-reweighting
+  marginal smoother (Hürzeler & Künsch 1998; Doucet, Godsill & Andrieu
+  2000 §IV): run the particle filter once forward storing every cloud,
+  then recurse backward
+
+      W_{t|T}^i ∝ w_t^i · Σ_j f(x_{t+1}^j | x_t^i) · W_{t+1|T}^j
+                              / Σ_k w_t^k f(x_{t+1}^j | x_t^k)
+
+  over the (N, N) pairwise transition-density matrix. TPU-first shape:
+  the O(N²) inner sums are two dense log-sum-exp reductions over an
+  (N, N) tile per step inside one ``lax.scan`` (no data-dependent
+  control flow, no per-particle loops); everything stays f32 in log
+  space for stability. Works for ANY model exposing
+  ``transition_distribution`` (linear-Gaussian, UC-SV, SV, DSL models).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .kalman import KalmanState, kalman_init, kalman_step
+from .particle_filter import PFConfig, pf_init, pf_step
+
+__all__ = ["SmoothedCloud", "kalman_smooth", "smoothed_marginals",
+           "smoothed_mean"]
+
+
+# ---------------------------------------------------------------------------
+# exact RTS smoother (linear-Gaussian oracle)
+# ---------------------------------------------------------------------------
+
+def kalman_smooth(model, y: jax.Array):
+    """RTS smoother: returns (smoothed means (T, dx), covs (T, dx, dx)).
+
+    Forward pass ≡ :func:`kalman_filter` but also collecting the
+    one-step-ahead predicted moments; backward pass
+
+        G_t = P_t Aᵀ P̂_{t+1}⁻¹
+        m_{t|T} = m_t + G_t (m_{t+1|T} − m̂_{t+1})
+        P_{t|T} = P_t + G_t (P_{t+1|T} − P̂_{t+1}) G_tᵀ
+    """
+    A, Q = model.A, model.Q
+
+    def fstep(state: KalmanState, yt):
+        x_pred = A @ state.mean
+        p_pred = A @ state.cov @ A.T + Q
+        out = kalman_step(model, state, yt)
+        return out.state, (out.state.mean, out.state.cov, x_pred, p_pred)
+
+    _, (mf, pf, mp, pp) = jax.lax.scan(fstep, kalman_init(model), y)
+
+    def bstep(carry, inp):
+        ms_next, ps_next = carry
+        mf_t, pf_t, mp_next, pp_next = inp
+        # G = Pf Aᵀ Pp⁻¹  (Pp symmetric ⇒ solve on the left and transpose)
+        g = jnp.linalg.solve(pp_next, A @ pf_t).T
+        ms = mf_t + g @ (ms_next - mp_next)
+        ps = pf_t + g @ (ps_next - pp_next) @ g.T
+        return (ms, ps), (ms, ps)
+
+    inputs = (mf[:-1], pf[:-1], mp[1:], pp[1:])
+    _, (ms, ps) = jax.lax.scan(
+        bstep, (mf[-1], pf[-1]), inputs, reverse=True
+    )
+    means = jnp.concatenate([ms, mf[-1:]], axis=0)
+    covs = jnp.concatenate([ps, pf[-1:]], axis=0)
+    return means, covs
+
+
+# ---------------------------------------------------------------------------
+# FFBS marginal particle smoother (generic models)
+# ---------------------------------------------------------------------------
+
+class SmoothedCloud(NamedTuple):
+    particles: jax.Array  # (T, N, dx) — the forward filter's clouds
+    log_weights: jax.Array  # (T, N) smoothed, normalized per step
+    filter_log_weights: jax.Array  # (T, N) filtered, normalized per step
+    log_z: jax.Array  # scalar marginal-likelihood estimate (forward pass)
+
+
+def _pairwise_transition_logpdf(model, x_t, x_next):
+    """(N, dx), (N, dx) → (N, N): log f(x_{t+1}^j | x_t^i) at [i, j]."""
+    return jax.vmap(
+        lambda xi: model.transition_distribution(xi).log_prob(x_next)
+    )(x_t)
+
+
+def smoothed_marginals(key, model, n: int, y: jax.Array,
+                       config: PFConfig = PFConfig()) -> SmoothedCloud:
+    """Forward-filter backward-reweighting marginal smoother.
+
+    One bootstrap-PF forward pass (storing each step's cloud + normalized
+    weights), then the backward W_{t|T} recursion over pairwise
+    transition densities. O(T·N·dx) memory, O(T·N²) compute — dense
+    (N, N) log-sum-exp tiles, TPU-friendly.
+    """
+    k0, k_scan = jax.random.split(key)
+    init = pf_init(k0, model, n, y[0])
+
+    def fstep(carry, inp):
+        st, acc = carry
+        k, yt = inp
+        out = pf_step(k, model, st, yt, config)
+        return (out.state, acc + out.log_mean), (
+            out.state.particles, out.state.log_weights
+        )
+
+    keys = jax.random.split(k_scan, y.shape[0] - 1)
+    (_, log_z), (xs_tail, lw_tail) = jax.lax.scan(
+        fstep, (init.state, init.log_mean), (keys, y[1:])
+    )
+    xs = jnp.concatenate([init.state.particles[None], xs_tail], axis=0)
+    lw = jnp.concatenate([init.state.log_weights[None], lw_tail], axis=0)
+
+    def bstep(lw_s_next, inp):
+        x_t, lw_t, x_next = inp
+        log_d = _pairwise_transition_logpdf(model, x_t, x_next)  # (N, N)
+        log_denom = jax.scipy.special.logsumexp(
+            lw_t[:, None] + log_d, axis=0
+        )  # (N,) over j
+        lw_s = lw_t + jax.scipy.special.logsumexp(
+            log_d + (lw_s_next - log_denom)[None, :], axis=1
+        )
+        lw_s = lw_s - jax.scipy.special.logsumexp(lw_s)
+        return lw_s, lw_s
+
+    _, lw_s_tail = jax.lax.scan(
+        bstep, lw[-1], (xs[:-1], lw[:-1], xs[1:]), reverse=True
+    )
+    lw_smoothed = jnp.concatenate([lw_s_tail, lw[-1:]], axis=0)
+    return SmoothedCloud(
+        particles=xs, log_weights=lw_smoothed,
+        filter_log_weights=lw, log_z=log_z,
+    )
+
+
+def smoothed_mean(out: SmoothedCloud) -> jax.Array:
+    """(T, dx) smoothed posterior mean E[x_t | y_{1:T}]."""
+    w = jnp.exp(out.log_weights)  # (T, N)
+    return jnp.einsum("tn,tnd->td", w, out.particles)

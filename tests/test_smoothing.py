@@ -1,0 +1,161 @@
+"""Smoothing layer: RTS Kalman smoother vs an exact joint-Gaussian
+oracle, and the FFBS marginal particle smoother vs both.
+
+The brute-force oracle builds the joint Gaussian of (x_{1:T}, y_{1:T})
+by explicit linear-algebra and conditions on y — exact up to float
+error, independent of any scan/recursion code path.
+
+NB prior conventions (both inherited from the reference): the Kalman
+filter starts from (x0, Σ0) and PREDICTS into t=1 (kalman_filter.jl:
+60-61 then :10-13), while the particle filter DRAWS x_1 from
+N(x0, Σ0) directly (particles.jl:87-105). The oracle takes the first
+state's moments as parameters so each smoother is tested against its
+own convention.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import sequential_monte_carlo_tpu as smc
+from sequential_monte_carlo_tpu.ops.smoothing import (
+    kalman_smooth,
+    smoothed_marginals,
+    smoothed_mean,
+)
+
+
+def _joint_gaussian_smoother(A, Q, B, R, m1, P1, y):
+    """Exact smoothed means E[x_t | y_{1:T}] for a (possibly multivariate)
+    LG model with univariate observations, by joint conditioning."""
+    T = len(y)
+    dx = A.shape[0]
+    # state means and pairwise covariances Cov(x_s, x_t)
+    means = np.zeros((T, dx))
+    means[0] = m1
+    for t in range(1, T):
+        means[t] = A @ means[t - 1]
+    # P[t] = Cov(x_t)
+    P = np.zeros((T, dx, dx))
+    P[0] = P1
+    for t in range(1, T):
+        P[t] = A @ P[t - 1] @ A.T + Q
+    # Cov(x_s, x_t) for s < t is P[s] @ (A^{t-s})^T
+    C = np.zeros((T, T, dx, dx))
+    for s in range(T):
+        C[s, s] = P[s]
+        acc = P[s]
+        for t in range(s + 1, T):
+            acc = acc @ A.T
+            C[s, t] = acc
+            C[t, s] = acc.T
+    # y covariances: y_t = B x_t + e_t
+    Sxy = np.einsum("stij,j->sti", C, B)  # Cov(x_s, B·x_t) (T,T,dx)
+    Syy = np.einsum("i,stij,j->st", B, C, B) + R * np.eye(T)
+    my = means @ B
+    coeff = np.linalg.solve(Syy, np.asarray(y) - my)  # (T,)
+    return means + np.einsum("sti,t->si", Sxy, coeff)
+
+
+@pytest.fixture(scope="module")
+def lg():
+    model = smc.lg_model(jnp.array([0.5, 0.9, 0.8]))  # A, Q, R scalars
+    _, y = smc.simulate(jax.random.key(3), model, 40)
+    return model, y
+
+
+def test_kalman_smooth_matches_joint_gaussian(lg):
+    model, y = lg
+    ms, Ps = kalman_smooth(model, y)
+    A = np.asarray(model.A)
+    Q = np.asarray(model.Q)
+    B = np.asarray(model.B)
+    R = float(model.R)
+    # Kalman convention: first state ~ N(A x0, A Σ0 Aᵀ + Q)
+    m1 = A @ np.asarray(model.x0)
+    P1 = A @ np.asarray(model.sigma0) @ A.T + Q
+    exact = _joint_gaussian_smoother(A, Q, B, R, m1, P1, np.asarray(y))
+    np.testing.assert_allclose(np.asarray(ms), exact, rtol=1e-4, atol=1e-4)
+    # covariances: SPD, and smaller than filtered at interior times
+    assert np.all(np.asarray(Ps)[:, 0, 0] > 0)
+
+
+def test_kalman_smooth_last_step_equals_filter(lg):
+    model, y = lg
+    ms, Ps = kalman_smooth(model, y)
+    mf, Pf, _, _ = smc.kalman_filter(model, y)
+    np.testing.assert_allclose(
+        np.asarray(ms[-1]), np.asarray(mf[-1]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(Ps[-1]), np.asarray(Pf[-1]), rtol=1e-6
+    )
+
+
+def test_ffbs_matches_joint_gaussian_oracle(lg):
+    model, y = lg
+    out = smoothed_marginals(jax.random.key(0), model, 4096, y)
+    got = np.asarray(smoothed_mean(out))  # (T, 1)
+    A = np.asarray(model.A)
+    Q = np.asarray(model.Q)
+    B = np.asarray(model.B)
+    R = float(model.R)
+    # PF convention: first state ~ N(x0, Σ0)
+    exact = _joint_gaussian_smoother(
+        A, Q, B, R, np.asarray(model.x0), np.asarray(model.sigma0),
+        np.asarray(y),
+    )
+    # MC error at N=4096 — the smoothed posterior std is ≲ 0.7 here
+    assert np.abs(got - exact).max() < 0.12, np.abs(got - exact).max()
+
+
+def test_ffbs_weights_normalized_and_reproducible(lg):
+    model, y = lg
+    out = smoothed_marginals(jax.random.key(1), model, 512, y)
+    w = np.asarray(jnp.exp(out.log_weights))
+    np.testing.assert_allclose(w.sum(-1), np.ones(len(y)), rtol=1e-4)
+    out2 = smoothed_marginals(jax.random.key(1), model, 512, y)
+    assert np.array_equal(
+        np.asarray(out.log_weights), np.asarray(out2.log_weights)
+    )
+    # last step: smoothed ≡ filtered by construction
+    np.testing.assert_array_equal(
+        np.asarray(out.log_weights[-1]), np.asarray(out.filter_log_weights[-1])
+    )
+
+
+def test_ffbs_ucsv_smoke():
+    """Generic-model path: UC-SV (TupleProduct transition, 3-dim state)."""
+    model = smc.ucsv_model(jnp.asarray([0.3, 2.0, -0.5, -0.5]))
+    _, y = smc.simulate(jax.random.key(5), model, 25)
+    out = smoothed_marginals(jax.random.key(6), model, 256, y)
+    assert out.particles.shape == (25, 256, 3)
+    m = np.asarray(smoothed_mean(out))
+    assert np.isfinite(m).all()
+    w = np.asarray(jnp.exp(out.log_weights))
+    np.testing.assert_allclose(w.sum(-1), np.ones(25), rtol=1e-4)
+    # the smoothed trend should track the observations' level scale
+    assert np.abs(m[:, 0] - np.asarray(y)).mean() < 3.0
+
+
+def test_ffbs_smoothed_beats_filtered_early(lg):
+    """At early t the smoothed mean must be closer to the exact smoothed
+    oracle than the filtered mean is (information from future y's)."""
+    model, y = lg
+    out = smoothed_marginals(jax.random.key(2), model, 4096, y)
+    w_f = np.asarray(jnp.exp(out.filter_log_weights))
+    w_s = np.asarray(jnp.exp(out.log_weights))
+    xs = np.asarray(out.particles)[..., 0]
+    filt = (w_f * xs).sum(-1)
+    smth = (w_s * xs).sum(-1)
+    exact = _joint_gaussian_smoother(
+        np.asarray(model.A), np.asarray(model.Q), np.asarray(model.B),
+        float(model.R), np.asarray(model.x0), np.asarray(model.sigma0),
+        np.asarray(y),
+    )[:, 0]
+    T = len(y)
+    early = slice(0, T // 2)
+    assert (
+        np.abs(smth[early] - exact[early]).mean()
+        < np.abs(filt[early] - exact[early]).mean()
+    )
