@@ -170,6 +170,24 @@ def run_pf_at_theta_hat(name, model, y, n, outdir, dates=None):
         dates=dates, annotation=ANNOT,
     )
     print(f"[{name}] PF at θ̂: logZ={float(logz):.2f}")
+
+    # smoothed trend at θ̂ — beyond the reference (which only filters):
+    # FFBS marginal smoother, same model/θ̂, capped N (the backward pass
+    # is O(T·N²) pairwise densities)
+    n_s = min(n, 2048)
+    sm = smc.smoothed_marginals(jax.random.key(1), model, n_s, y)
+    trend = np.asarray(smc.smoothed_mean(sm))[:, 0]
+    w_s = np.asarray(jnp.exp(sm.log_weights))
+    xs0 = np.asarray(sm.particles)[..., 0]
+    var_s = (w_s * (xs0 - trend[:, None]) ** 2).sum(-1)
+    sd = np.sqrt(var_s)
+    plot_filtered_band(
+        np.asarray(y), trend - sd, trend, trend + sd,
+        label=f"smoothed trend ({name}, FFBS)",
+        title="quarterly PCE inflation rate (given θ, smoothed)",
+        path=os.path.join(outdir, f"pce_inflation_trend_{name}_smoothed.png"),
+        dates=dates, annotation=ANNOT,
+    )
     return np.asarray(series["summary"]["var"])
 
 
