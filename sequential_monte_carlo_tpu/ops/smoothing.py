@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from .kalman import KalmanState, kalman_init, kalman_step
 from .particle_filter import PFConfig, pf_init, pf_step
 
-__all__ = ["SmoothedCloud", "kalman_smooth", "smoothed_marginals",
-           "smoothed_mean"]
+__all__ = ["SmoothedCloud", "kalman_smooth", "sample_smoothed_paths",
+           "smoothed_marginals", "smoothed_mean"]
 
 
 # ---------------------------------------------------------------------------
@@ -154,3 +154,39 @@ def smoothed_mean(out: SmoothedCloud) -> jax.Array:
     """(T, dx) smoothed posterior mean E[x_t | y_{1:T}]."""
     w = jnp.exp(out.log_weights)  # (T, N)
     return jnp.einsum("tn,tnd->td", w, out.particles)
+
+
+def sample_smoothed_paths(key, out: SmoothedCloud, model, m: int):
+    """Backward-sampling FFBS (Godsill, Doucet & West 2004): draw ``m``
+    joint trajectories x_{1:T} ~ p(x_{1:T} | y_{1:T}).
+
+    Uses the forward clouds/weights stored in ``out``: draw the endpoint
+    from the filtered weights at T, then backward
+
+        P(i) ∝ w_t^i · f(x_{t+1}^(path) | x_t^i)
+
+    — one (m, N) categorical per step, all inside a ``lax.scan``
+    (vmap over paths; no per-particle loops). Returns (T, m, dx)."""
+    k_end, k_scan = jax.random.split(key)
+    idx = jax.random.categorical(
+        k_end, out.filter_log_weights[-1], shape=(m,)
+    )
+    x_end = out.particles[-1][idx]  # (m, dx)
+
+    def bstep(x_next, inp):
+        k, x_t, lw_t = inp
+
+        def one(kp, xn):
+            logp = lw_t + model.transition_distribution(x_t).log_prob(xn)
+            return x_t[jax.random.categorical(kp, logp)]
+
+        x_prev = jax.vmap(one)(jax.random.split(k, m), x_next)
+        return x_prev, x_prev
+
+    keys = jax.random.split(k_scan, out.particles.shape[0] - 1)
+    _, tail = jax.lax.scan(
+        bstep, x_end,
+        (keys, out.particles[:-1], out.filter_log_weights[:-1]),
+        reverse=True,
+    )
+    return jnp.concatenate([tail, x_end[None]], axis=0)

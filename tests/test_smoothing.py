@@ -20,6 +20,7 @@ import pytest
 import sequential_monte_carlo_tpu as smc
 from sequential_monte_carlo_tpu.ops.smoothing import (
     kalman_smooth,
+    sample_smoothed_paths,
     smoothed_marginals,
     smoothed_mean,
 )
@@ -136,6 +137,27 @@ def test_ffbs_ucsv_smoke():
     np.testing.assert_allclose(w.sum(-1), np.ones(25), rtol=1e-4)
     # the smoothed trend should track the observations' level scale
     assert np.abs(m[:, 0] - np.asarray(y)).mean() < 3.0
+
+
+def test_backward_sampling_paths_match_marginals(lg):
+    """Trajectory draws (Godsill–Doucet–West) have per-t means consistent
+    with the exact smoothed means, and correct shapes/finiteness."""
+    model, y = lg
+    out = smoothed_marginals(jax.random.key(7), model, 2048, y)
+    paths = sample_smoothed_paths(jax.random.key(8), out, model, 512)
+    T = len(y)
+    assert paths.shape == (T, 512, 1)
+    assert np.isfinite(np.asarray(paths)).all()
+    exact = _joint_gaussian_smoother(
+        np.asarray(model.A), np.asarray(model.Q), np.asarray(model.B),
+        float(model.R), np.asarray(model.x0), np.asarray(model.sigma0),
+        np.asarray(y),
+    )[:, 0]
+    got = np.asarray(paths)[:, :, 0].mean(axis=1)
+    # 512 paths over a smoothed posterior with sd ≲ 0.7
+    assert np.abs(got - exact).max() < 0.25, np.abs(got - exact).max()
+    # paths are genuinely distinct trajectories
+    assert np.unique(np.asarray(paths)[0, :, 0]).size > 50
 
 
 def test_ffbs_smoothed_beats_filtered_early(lg):
