@@ -130,10 +130,12 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
       cw:      CDF chunk width (128-multiple — chunk slices must sit at
                128-multiple lane offsets).
       u0:      (M, 1) systematic offsets. When given, the grid
-               u_i = (i + u0)/N is built directly in the kernel's
-               transposed layout — bitwise-equal to passing
-               ``systematic_uniforms`` output, without materializing the
-               (M, N) grid and relayouting it host-side.
+               u_i = (i + u0)/N is built host-side DIRECTLY in the
+               kernel's transposed (M, OT, n_tiles) layout — bitwise-equal
+               to passing ``systematic_uniforms`` output. The M·N values
+               are still materialized (one fused elementwise write); what
+               this route avoids is the reshape+swapaxes RELAYOUT of a
+               lane-major (M, N) grid, which is where the time went.
 
     Returns (M, C, N) f32: ``xs`` gathered by the systematic ancestors —
     bitwise-equal to searchsorted(cdf, u, side="left") + take, the same tie
@@ -151,7 +153,18 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
         # the grid savings (2.34 vs 1.75 ms) — atypical for the
         # always-resample steady state, where weights carry one
         # observation's increment.
+        #
+        # VMEM-aware scaling: the per-group blocks (int8 planes + f32 out
+        # + two sublane-padded cdf streams) grow with BOTH the padded
+        # component count and N; tm=16 at (c_pad=8, N=8192) exceeds the
+        # 16 MB scoped-VMEM limit (a Mosaic compile error, not a fallback)
+        # — halve tm per doubling of either beyond (c_pad=4, N=8192).
+        c_pad_est = -(-xs.shape[1] // 4) * 4
         tm = 16
+        scale = (c_pad_est // 4) * max(1, n // 8192)
+        while tm > 1 and scale > 1:
+            tm //= 2
+            scale //= 2
     while m % tm:
         tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:
@@ -203,7 +216,10 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     if sys_u:
         # systematic grid u_i = (i + u0)/n built DIRECTLY in the kernel's
         # transposed (M, OT, n_tiles) layout: one fused XLA elementwise
-        # pass, no (M, N) materialization and no relayout. Bitwise ≡
+        # pass writing the M·N values; the reshape+swapaxes RELAYOUT of a
+        # lane-major grid is what's avoided (that, not the write, was the
+        # measured cost — an in-KERNEL grid lost twice, see tile_body).
+        # Bitwise ≡
         # systematic_uniforms(...) then reshape+swapaxes: the index
         # i = t·ot + o is exact in f32 and the (i + u0)/n ops are identical.
         idx = (

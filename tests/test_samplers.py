@@ -124,7 +124,8 @@ def test_dtheta1_kernel_semantics_and_smc2(lg_setup):
     sampler = smc.SMC2(model1, prior1, cfg)
     state, infos = sampler.run(jax.random.key(4), y[:40])
     est = float(smc.expected_parameters(state)[0])
-    # truth: σ_y = 0.8; loose band — 40 obs, 128 θ
+    # truth: R = 0.8 (the free parameter is the observation VARIANCE;
+    # lg_model passes √R to Normal); loose band — 40 obs, 128 θ
     assert np.isfinite(est) and 0.3 < est < 2.0, est
 
 
