@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .resample_pallas import _to_byte_planes, resample_gather_bytes
+from sequential_monte_carlo_tpu.kernels.resample_pallas import _to_byte_planes, resample_gather_bytes
 
 
 _CW = 128  # in-kernel window chunk: bounds live compare-mask VREGs

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .resample_pallas import resample_gather_bytes
+from sequential_monte_carlo_tpu.kernels.resample_pallas import resample_gather_bytes
 
 
 def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, xs_ref, out_ref, *, cw: int):

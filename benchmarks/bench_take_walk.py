@@ -32,7 +32,7 @@ from sequential_monte_carlo_tpu.kernels.resample_pallas import (
 from sequential_monte_carlo_tpu.kernels.resample_walk import (
     resample_gather_walk,
 )
-from sequential_monte_carlo_tpu.kernels.resample_take_walk import (
+from benchmarks.ablations.resample_take_walk import (
     resample_gather_take,
 )
 

@@ -2,15 +2,17 @@
 
 Resample+gather generations (all bitwise-equal to searchsorted+take):
 ``resample_pallas.resample_gather`` (dense f32), ``resample_gather_bytes``
-(dense int8 byte-plane), ``resample_banded`` (windowed, superseded),
-``resample_walk`` (monotone chunk-walk with in-kernel byte-planing — the
-one the filters route to), and ``resample_take_walk`` (lane-gather walk —
-measured slower than the matmul walk, kept as the recorded ablation).
-UC-SV model kernel: ``ucsv_pallas`` (fused propagate+reweight). The
-whole-step walk+propagate+reweight mega-kernels (round 1's
-``ucsv_step_pallas``, round 2's ``ucsv_walk_pallas``) are deleted: both
-lost to the two-kernel route at every measured size because the planar
-layout starves the in-kernel propagate of sublanes (PERF_NOTES.md).
+(dense int8 byte-plane) and ``resample_walk`` (monotone chunk-walk with
+in-kernel byte-planing — the one the filters route to). Superseded
+generations live outside the shipped package as measured ablation records:
+``benchmarks/ablations/resample_banded.py`` (gen 2, windowed) and
+``benchmarks/ablations/resample_take_walk.py`` (gen 5, lane-gather —
+loses 2× to the matmul walk). UC-SV model kernel: ``ucsv_pallas`` (fused
+propagate+reweight). The whole-step walk+propagate+reweight mega-kernels
+(round 1's ``ucsv_step_pallas``, round 2's ``ucsv_walk_pallas``) are
+deleted: both lost to the two-kernel route at every measured size because
+the planar layout starves the in-kernel propagate of sublanes
+(PERF_NOTES.md).
 """
 from .resample_pallas import (
     resample_gather,

@@ -157,14 +157,24 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
         # VMEM-aware scaling: the per-group blocks (int8 planes + f32 out
         # + two sublane-padded cdf streams) grow with BOTH the padded
         # component count and N; tm=16 at (c_pad=8, N=8192) exceeds the
-        # 16 MB scoped-VMEM limit (a Mosaic compile error, not a fallback)
-        # — halve tm per doubling of either beyond (c_pad=4, N=8192).
+        # 16 MB scoped-VMEM limit (a Mosaic compile error, not a fallback).
+        # Halve tm while an explicit per-group byte estimate exceeds the
+        # budget — calibrated so (tm=16, c_pad=4, N=8192) sits AT the
+        # budget (measured to fit on v5e) and (tm=16, c_pad=8, N=8192)
+        # exceeds it (measured Mosaic OOM). Per element of the tm·n tile:
+        # u grid 4 B (f32, ot·n_tiles = n) + two cdf streams at 8-sublane
+        # padding (2·8·4 B) + 4·c_pad int8 planes + the f32 output at
+        # 8-sublane-rounded c_pad.
         c_pad_est = -(-xs.shape[1] // 4) * 4
+
+        def group_bytes(tm_):
+            per_el = 4 + 64 + 4 * c_pad_est + (-(-c_pad_est // 8) * 8) * 4
+            return tm_ * n * per_el
+
+        budget = 16 * 8192 * (4 + 64 + 16 + 32)  # = group_bytes at the calibration point
         tm = 16
-        scale = (c_pad_est // 4) * max(1, n // 8192)
-        while tm > 1 and scale > 1:
+        while tm > 1 and group_bytes(tm) > budget:
             tm //= 2
-            scale //= 2
     while m % tm:
         tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:

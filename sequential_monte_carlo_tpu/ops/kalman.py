@@ -39,6 +39,7 @@ class KalmanState(NamedTuple):
 class KalmanStep(NamedTuple):
     state: KalmanState
     log_lik: jax.Array  # scalar per-step log p(y_t | y_{1:t-1})
+    predicted: KalmanState  # one-step-ahead (x̂, P̂) — the RTS smoother's input
 
 
 def kalman_init(model: LinearGaussianModel) -> KalmanState:
@@ -54,6 +55,7 @@ def kalman_step(model: LinearGaussianModel, state: KalmanState, y) -> KalmanStep
     # predict
     x = A @ x
     P = A @ P @ A.T + Q
+    predicted = KalmanState(x, P)
 
     # innovation (univariate observation ⇒ scalar s)
     PBt = P @ B  # (dx,)
@@ -66,7 +68,7 @@ def kalman_step(model: LinearGaussianModel, state: KalmanState, y) -> KalmanStep
     P = P - jnp.outer(gain, PBt)
 
     log_lik = -0.5 * (_LOG_2PI + jnp.log(s) + delta * delta / s)
-    return KalmanStep(KalmanState(x, P), log_lik)
+    return KalmanStep(KalmanState(x, P), log_lik, predicted)
 
 
 def kalman_filter(model: LinearGaussianModel, y: jax.Array):

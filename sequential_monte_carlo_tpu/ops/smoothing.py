@@ -55,13 +55,14 @@ def kalman_smooth(model, y: jax.Array):
         m_{t|T} = m_t + G_t (m_{t+1|T} − m̂_{t+1})
         P_{t|T} = P_t + G_t (P_{t+1|T} − P̂_{t+1}) G_tᵀ
     """
-    A, Q = model.A, model.Q
+    A = model.A
 
     def fstep(state: KalmanState, yt):
-        x_pred = A @ state.mean
-        p_pred = A @ state.cov @ A.T + Q
         out = kalman_step(model, state, yt)
-        return out.state, (out.state.mean, out.state.cov, x_pred, p_pred)
+        return out.state, (
+            out.state.mean, out.state.cov,
+            out.predicted.mean, out.predicted.cov,
+        )
 
     _, (mf, pf, mp, pp) = jax.lax.scan(fstep, kalman_init(model), y)
 

@@ -130,45 +130,6 @@ def test_fused_config_off_on_cpu_matches_statistics(setup):
     assert np.abs(np.asarray(z_off - kz)).max() < 3.0
 
 
-@pytest.mark.parametrize("concentration", [2.0, 8.0])
-def test_resample_gather_banded_bitwise(concentration):
-    """Banded sub-N² kernel ≡ dense ≡ searchsorted+take (both cond paths)."""
-    from sequential_monte_carlo_tpu.kernels.resample_banded import (
-        resample_gather_banded,
-    )
-    from jax.experimental.pallas import tpu as pltpu
-
-    M, N, C = 4, 2048, 3
-    w = jax.nn.softmax(
-        jax.random.normal(jax.random.key(0), (M, N)) * concentration
-    )
-    xs = jax.random.normal(jax.random.key(1), (M, C, N))
-    u = systematic_uniforms(jax.random.key(2), M, N)
-    with pltpu.force_tpu_interpret_mode():
-        out = resample_gather_banded(u, w, xs)
-    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
-    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
-    assert bool(jnp.all(out == ref))
-
-
-def test_resample_gather_banded_small_n_falls_back():
-    from sequential_monte_carlo_tpu.kernels.resample_banded import (
-        resample_gather_banded,
-    )
-
-    from jax.experimental.pallas import tpu as pltpu
-
-    M, N, C = 2, 512, 2  # N < 2*win → routes to the dense kernel
-    w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (M, N)))
-    xs = jax.random.normal(jax.random.key(1), (M, C, N))
-    u = systematic_uniforms(jax.random.key(2), M, N)
-    with pltpu.force_tpu_interpret_mode():
-        out = resample_gather_banded(u, w, xs)
-    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
-    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
-    assert bool(jnp.all(out == ref))
-
-
 @pytest.mark.parametrize("concentration", [0.0, 2.0, 8.0])
 def test_resample_gather_walk_bitwise(concentration):
     """Chunk-walk kernel ≡ searchsorted+take at any weight concentration."""
@@ -189,28 +150,6 @@ def test_resample_gather_walk_bitwise(concentration):
     ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
     assert bool(jnp.all(out == ref))
 
-
-@pytest.mark.parametrize("concentration", [0.0, 8.0])
-def test_resample_gather_take_bitwise(concentration):
-    """Gen-5 lane-gather walk ≡ searchsorted+take (kept as a recorded
-    ablation — measured slower than the matmul walk on v5e, see its
-    module docstring — but it must stay correct while in the tree)."""
-    from sequential_monte_carlo_tpu.kernels.resample_take_walk import (
-        resample_gather_take,
-    )
-    from jax.experimental.pallas import tpu as pltpu
-
-    M, N, C = 4, 2048, 3
-    w = jax.nn.softmax(
-        jax.random.normal(jax.random.key(0), (M, N)) * concentration
-    )
-    xs = jax.random.normal(jax.random.key(1), (M, C, N))
-    u = systematic_uniforms(jax.random.key(2), M, N)
-    with pltpu.force_tpu_interpret_mode():
-        out = resample_gather_take(u, w, xs, tm=2)
-    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
-    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
-    assert bool(jnp.all(out == ref))
 
 
 def test_resample_gather_walk_u0_route_bitwise():

@@ -139,6 +139,25 @@ def test_ffbs_ucsv_smoke():
     assert np.abs(m[:, 0] - np.asarray(y)).mean() < 3.0
 
 
+def test_backward_sampling_paths_ucsv_smoke():
+    """Generic-model path for trajectory draws: UC-SV (TupleProduct
+    transition; the load-bearing assumption is log_prob broadcasting of a
+    single (dx,) endpoint against the (N,)-batched transition)."""
+    model = smc.ucsv_model(jnp.asarray([0.3, 2.0, -0.5, -0.5]))
+    _, y = smc.simulate(jax.random.key(9), model, 20)
+    out = smoothed_marginals(jax.random.key(10), model, 256, y)
+    paths = sample_smoothed_paths(jax.random.key(11), out, model, 64)
+    assert paths.shape == (20, 64, 3)
+    assert np.isfinite(np.asarray(paths)).all()
+    # every drawn state is one of that step's forward-cloud particles
+    cloud0 = np.asarray(out.particles[0, :, 0])
+    assert np.isin(np.asarray(paths)[0, :, 0], cloud0).all()
+    # trajectory means track the marginal smoothed means
+    m = np.asarray(smoothed_mean(out))[:, 0]
+    got = np.asarray(paths)[:, :, 0].mean(axis=1)
+    assert np.abs(got - m).mean() < 1.0
+
+
 def test_backward_sampling_paths_match_marginals(lg):
     """Trajectory draws (Godsill–Doucet–West) have per-t means consistent
     with the exact smoothed means, and correct shapes/finiteness."""
