@@ -1,9 +1,15 @@
-"""Headline benchmark: online SMC² on the UC-SV model, 512 θ × 1024 state
-particles, T=241 (the reference's flagship workload,
-examples/inflation_example.jl:255-267; BASELINE.md north-star config 5).
+"""Headline benchmark: online SMC² on the UC-SV model at BOTH reference
+sizes — 512 θ × 1024 state particles (headline) and the reference's
+flagship 512 θ × 8192 (examples/inflation_example.jl:255-267;
+BASELINE.md north-star config 5), T=241.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "flagship": {"metric": ..., "value": N, "vs_baseline": N}}
+
+The primary fields stay the 512×1024 headline (driver-parsed, stable
+across rounds); the "flagship" object carries the 512×8192 run so a
+flagship regression shows up in BENCH_r{N}.json (VERDICT r3 #6).
 
 ``vs_baseline`` is the speedup over the reference-faithful CPU baseline
 measured with benchmarks/baseline_numpy.py on this machine (per-θ NumPy
@@ -11,7 +17,7 @@ loop ≡ the Julia reference's structure, full T=241 runs, no extrapolation):
 435.1 s at N=1024 (2026-08-17), 2109.2 s at the reference's flagship
 N=8192 (2026-08-19). See BASELINE.md.
 
-Usage: python bench.py [--m 512] [--n 1024] [--t 241]
+Usage: python bench.py [--m 512] [--n 1024] [--t 241] [--no-flagship]
 """
 from __future__ import annotations
 
@@ -27,6 +33,34 @@ BASELINE_CPU_WALLCLOCK_S = {
 }
 
 
+def _measure(smc, jax, jnp, y, m, n, t, chain, repeats):
+    """Compile-warm + best-of-``repeats`` timed runs; returns (best_s, ok)."""
+    prior = smc.product_distribution(
+        [
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(1.0)),
+            smc.Normal(jnp.asarray(3.0), jnp.asarray(2.0)),
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(2.0)),
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(2.0)),
+        ]
+    )
+    cfg = smc.SMCConfig(
+        n_particles=n, n_theta=m, chain=chain, ess_threshold=0.5
+    )
+    sampler = smc.SMC2(smc.ucsv_model, prior, cfg)
+
+    # compile warm-up (separate key so the timed run is a fresh execution)
+    state, infos = sampler.run(jax.random.key(99), y)
+    jax.block_until_ready(state)
+
+    best = float("inf")
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        state, infos = sampler.run(jax.random.key(r), y)
+        jax.block_until_ready(state)
+        best = min(best, time.perf_counter() - t0)
+    return best, bool(jnp.isfinite(state.ess))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--m", type=int, default=512)
@@ -34,6 +68,9 @@ def main():
     p.add_argument("--t", type=int, default=241)
     p.add_argument("--chain", type=int, default=5)
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--no-flagship", action="store_true",
+                   help="skip the 512x8192 flagship config")
+    p.add_argument("--flagship-n", type=int, default=8192)
     args = p.parse_args()
 
     # Persistent compilation cache: XLA programs here are large and this
@@ -61,34 +98,10 @@ def main():
         dtype=jnp.float32,
     )
 
-    prior = smc.product_distribution(
-        [
-            smc.Uniform(jnp.asarray(0.0), jnp.asarray(1.0)),
-            smc.Normal(jnp.asarray(3.0), jnp.asarray(2.0)),
-            smc.Uniform(jnp.asarray(0.0), jnp.asarray(2.0)),
-            smc.Uniform(jnp.asarray(0.0), jnp.asarray(2.0)),
-        ]
+    best, ok = _measure(
+        smc, jax, jnp, y, args.m, args.n, args.t, args.chain, args.repeats
     )
-    cfg = smc.SMCConfig(
-        n_particles=args.n,
-        n_theta=args.m,
-        chain=args.chain,
-        ess_threshold=0.5,
-    )
-    sampler = smc.SMC2(smc.ucsv_model, prior, cfg)
-
-    # compile warm-up (separate key so the timed run is a fresh execution)
-    state, infos = sampler.run(jax.random.key(99), y)
-    jax.block_until_ready(state)
-
-    best = float("inf")
-    for r in range(args.repeats):
-        t0 = time.perf_counter()
-        state, infos = sampler.run(jax.random.key(r), y)
-        jax.block_until_ready(state)
-        best = min(best, time.perf_counter() - t0)
-
-    if not bool(jnp.isfinite(state.ess)):
+    if not ok:
         print(json.dumps({"metric": "smc2_ucsv_wallclock", "value": -1,
                           "unit": "s", "vs_baseline": 0.0,
                           "error": "non-finite ESS"}))
@@ -101,6 +114,24 @@ def main():
         "unit": "s",
         "vs_baseline": round(baseline / best, 2) if baseline else 0.0,
     }
+
+    if not args.no_flagship and args.flagship_n != args.n:
+        fbest, fok = _measure(
+            smc, jax, jnp, y, args.m, args.flagship_n, args.t, args.chain,
+            args.repeats,
+        )
+        fbaseline = BASELINE_CPU_WALLCLOCK_S.get((args.m, args.flagship_n))
+        result["flagship"] = {
+            "metric": (
+                f"smc2_ucsv_{args.m}x{args.flagship_n}_T{args.t}_wallclock"
+            ),
+            "value": round(fbest, 4) if fok else -1,
+            "unit": "s",
+            "vs_baseline": (
+                round(fbaseline / fbest, 2) if (fok and fbaseline) else 0.0
+            ),
+        }
+
     print(json.dumps(result))
 
 

@@ -64,10 +64,11 @@ from .resample_pallas import _to_byte_planes, resample_gather_bytes
 
 
 def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
-            *, cw: int):
+            *, cw: int, n_sub: int):
     tm, ot, n_tiles = ut_ref.shape
     c4 = xs_ref.shape[1]  # byte planes = 4 · padded components
     c = c4 // 4
+    sb = tm // n_sub  # subgroup row width (8 = one f32 sublane tile)
     g = pl.program_id(0)
 
     def tile_body(t, _):
@@ -81,32 +82,42 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
             jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_tiles), 2) == t
         ).astype(jnp.float32)
         u_t = jnp.sum(ut_ref[...] * sel, axis=2, keepdims=True)
-        ks = ks_ref[g * n_tiles + t]
-        ke = ke_ref[g * n_tiles + t]
 
-        def chunk_body(k, acc):
-            lo = cdfp_ref[:, :, pl.ds(k * cw, cw)]  # (TM, 1, CW)
-            hi = cdf_ref[:, :, pl.ds(k * cw, cw)]
-            band = ((u_t > lo) & (u_t <= hi)).astype(jnp.int8)  # (TM, OT, CW)
-            return acc + jax.lax.dot_general(
-                xs_ref[:, :, pl.ds(k * cw, cw)],  # (TM, 4C, CW) int8 planes
-                band,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32,
+        # per-SUBGROUP chunk bounds (static unrolled loop): the group-union
+        # bounds that let tm=16 pipeline its grid also widened every
+        # tile's walk to the 16-row union span; walking each 8-row sublane
+        # tile with its own bounds keeps the tm=8 visit count at the tm=16
+        # grid-step count. Bitwise-identical output — skipped chunks
+        # contribute all-zero bands by construction.
+        for s in range(n_sub):
+            rows = slice(s * sb, (s + 1) * sb)
+            u_s = u_t[rows]
+            ks = ks_ref[(g * n_sub + s) * n_tiles + t]
+            ke = ke_ref[(g * n_sub + s) * n_tiles + t]
+
+            def chunk_body(k, acc, rows=rows, u_s=u_s):
+                lo = cdfp_ref[rows, :, pl.ds(k * cw, cw)]  # (SB, 1, CW)
+                hi = cdf_ref[rows, :, pl.ds(k * cw, cw)]
+                band = ((u_s > lo) & (u_s <= hi)).astype(jnp.int8)
+                return acc + jax.lax.dot_general(
+                    xs_ref[rows, :, pl.ds(k * cw, cw)],  # (SB, 4C, CW) int8
+                    band,  # (SB, OT, CW)
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.int32,
+                )
+
+            acc = jax.lax.fori_loop(
+                ks, ke, chunk_body, jnp.zeros((sb, c4, ot), jnp.int32)
             )
 
-        acc = jax.lax.fori_loop(
-            ks, ke, chunk_body, jnp.zeros((tm, c4, ot), jnp.int32)
-        )
-
-        b0 = acc[:, 0 * c : 1 * c, :] & 0xFF
-        b1 = acc[:, 1 * c : 2 * c, :] & 0xFF
-        b2 = acc[:, 2 * c : 3 * c, :] & 0xFF
-        b3 = acc[:, 3 * c : 4 * c, :] & 0xFF
-        word = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
-        out_ref[:, :, pl.ds(t * ot, ot)] = jax.lax.bitcast_convert_type(
-            word, jnp.float32
-        )
+            b0 = acc[:, 0 * c : 1 * c, :] & 0xFF
+            b1 = acc[:, 1 * c : 2 * c, :] & 0xFF
+            b2 = acc[:, 2 * c : 3 * c, :] & 0xFF
+            b3 = acc[:, 3 * c : 4 * c, :] & 0xFF
+            word = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+            out_ref[rows, :, pl.ds(t * ot, ot)] = jax.lax.bitcast_convert_type(
+                word, jnp.float32
+            )
         return 0
 
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
@@ -219,9 +230,13 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     )
     k_start = jnp.minimum(k_start, n_chunks - 1)
     k_last = jnp.minimum(k_last, n_chunks - 1)
-    # group-shared bounds: min start / max end over the TM rows
-    gks = k_start.reshape(n_groups, tm, n_tiles).min(axis=1)
-    gke = (k_last.reshape(n_groups, tm, n_tiles).max(axis=1) + 1)
+    # subgroup-shared bounds: min start / max end over each 8-row sublane
+    # tile (not the whole TM group — the union over 16 rows cost ~1.4×
+    # the visits of the 8-row span, measured round 3)
+    n_sub = tm // 8 if tm % 8 == 0 else 1
+    sb = tm // n_sub
+    gks = k_start.reshape(n_groups * n_sub, sb, n_tiles).min(axis=1)
+    gke = (k_last.reshape(n_groups * n_sub, sb, n_tiles).max(axis=1) + 1)
 
     if sys_u:
         # systematic grid u_i = (i + u0)/n built DIRECTLY in the kernel's
@@ -259,7 +274,7 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, cw=cw),
+        functools.partial(_kernel, cw=cw, n_sub=n_sub),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, c_pad, n), jnp.float32),
         interpret=interpret,

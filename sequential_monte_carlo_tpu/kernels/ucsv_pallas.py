@@ -50,10 +50,11 @@ def _normals(shape):
     return r * jnp.cos(_TWO_PI * u2), r * jnp.sin(_TWO_PI * u2)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "normalize"))
 def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
-                            interpret: bool = False, tile_offset=0):
-    """Fused UC-SV propagate+reweight.
+                            interpret: bool = False, tile_offset=0,
+                            normalize: bool = False):
+    """Fused UC-SV propagate+reweight (+ optional normalize epilogue).
 
     Args:
       seed: int32 scalar PRNG seed for this step.
@@ -63,8 +64,18 @@ def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
       tile_offset: int32 scalar added to the per-tile PRNG stream index —
         under θ-sharding (shard_map) each shard passes its global first-tile
         index so the sharded run draws the same randoms as the unsharded one.
+      normalize: also run the per-row log-sum-exp normalize + ESS on the
+        resident (TILE_M, N) block — valid for the always-resample path
+        where the pre-propagate log-weights are the constant −log N, so the
+        normalized weights depend on the increments alone. Saves the
+        separate XLA normalize/ESS sweeps over the (M, N) tensor (the
+        step-glue headroom identified by the round-3 device profile,
+        PERF_NOTES.md).
     Returns:
-      (x', log_se', log_sn', logw) each (M, N).
+      ``normalize=False``: (x', log_se', log_sn', logw) each (M, N).
+      ``normalize=True``:  (x', log_se', log_sn', log_norm (M, N),
+      lse (M, 1) row log-sum-exp of the increments — the caller subtracts
+      log N for the evidence, ess (M, 1)).
     """
     M, N = x.shape
     TILE_M = 8 if M % 8 == 0 else M
@@ -73,12 +84,15 @@ def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
     def row_spec():
         return pl.BlockSpec((TILE_M, N), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
+    def col_spec():
+        return pl.BlockSpec((TILE_M, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
     # broadcast per-θ γ to (M, N) lanes once outside (cheap, fused by XLA)
     ge = jnp.broadcast_to(gamma_eps[:, None], (M, N))
     gn = jnp.broadcast_to(gamma_eta[:, None], (M, N))
 
     def kernel(seed_ref, y_ref, ge_ref, gn_ref, x_ref, lse_ref, lsn_ref,
-               xo_ref, lseo_ref, lsno_ref, logw_ref):
+               xo_ref, lseo_ref, lsno_ref, logw_ref, *norm_refs):
         pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
         x_ = x_ref[:]
         lse_ = lse_ref[:]
@@ -90,12 +104,30 @@ def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
         lsn_new = lsn_ + gn_ref[:] * z2
         s_inv = jnp.exp(-0.5 * lsn_new)
         zz = (y_ref[0] - x_new) * s_inv
-        logw_ref[:] = -0.5 * zz * zz - 0.5 * lsn_new - _HALF_LOG_2PI
+        logw = -0.5 * zz * zz - 0.5 * lsn_new - _HALF_LOG_2PI
         xo_ref[:] = x_new
         lseo_ref[:] = lse_new
         lsno_ref[:] = lsn_new
+        if not norm_refs:
+            logw_ref[:] = logw
+            return
+        lseo, esso = norm_refs
+        # per-row log-sum-exp over the resident block (logw is a Gaussian
+        # log-density — always finite, no −inf guard needed)
+        mx = jnp.max(logw, axis=-1, keepdims=True)
+        e = jnp.exp(logw - mx)
+        s = jnp.sum(e, axis=-1, keepdims=True)
+        row_lse = mx + jnp.log(s)
+        log_norm = logw - row_lse
+        logw_ref[:] = log_norm
+        lseo[:] = row_lse
+        esso[:] = 1.0 / jnp.sum(e * e, axis=-1, keepdims=True) * (s * s)
 
     out_shape = [jax.ShapeDtypeStruct((M, N), x.dtype)] * 4
+    out_specs = [row_spec()] * 4
+    if normalize:
+        out_shape += [jax.ShapeDtypeStruct((M, 1), x.dtype)] * 2
+        out_specs += [col_spec()] * 2
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -108,7 +140,7 @@ def ucsv_propagate_reweight(seed, y, gamma_eps, gamma_eta, x, log_se, log_sn,
             row_spec(),  # log_se
             row_spec(),  # log_sn
         ],
-        out_specs=[row_spec()] * 4,
+        out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
     )(

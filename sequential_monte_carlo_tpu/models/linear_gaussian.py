@@ -19,10 +19,47 @@ Note Q, R, Σ0 are *variances* (the reference passes ``sqrt(Q)`` etc. to
 """
 from __future__ import annotations
 
+import functools
+import math
+
 import jax.numpy as jnp
 
 from ..distributions import MvNormal, Normal, Product
 from ..utils.struct import pytree_dataclass
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+@functools.lru_cache(maxsize=None)
+def _lg_update(dx: int):
+    """Per-particle LG step at static state dimension ``dx``, traced into
+    the fused Pallas kernel (kernels/propagate_pallas.py). The matvecs
+    A@x and F@z unroll to elementwise FMA chains over the dx state planes
+    (dx is tiny — 1 for the univariate family, 2 for Hodrick–Prescott);
+    F is any factor with F·Fᵀ = Q (eigh-based, so singular Q works).
+    Cached per dx so the traced function is a stable jit cache key."""
+
+    def update(par, y, state, normals):
+        A = par[: dx * dx]
+        F = par[dx * dx : 2 * dx * dx]
+        B = par[2 * dx * dx : 2 * dx * dx + dx]
+        r = par[-1]
+        x_new = []
+        for i in range(dx):
+            acc = A[i * dx] * state[0]
+            for j in range(1, dx):
+                acc = acc + A[i * dx + j] * state[j]
+            for j in range(dx):
+                acc = acc + F[i * dx + j] * normals[j]
+            x_new.append(acc)
+        loc = B[0] * x_new[0]
+        for i in range(1, dx):
+            loc = loc + B[i] * x_new[i]
+        delta = y - loc
+        logw = -0.5 * delta * delta / r - 0.5 * jnp.log(r) - _HALF_LOG_2PI
+        return tuple(x_new), logw
+
+    return update
 
 
 @pytree_dataclass
@@ -55,6 +92,50 @@ class LinearGaussianModel:
     def observation_distribution(self, x):
         loc = jnp.einsum("...i,...i->...", self.B, x)
         return Normal(loc, jnp.sqrt(self.R))
+
+    # -- fused fast path (kernels/propagate_pallas.py) -----------------------
+    def fused_propagate_reweight(self, seed, y, particles, tile_offset=0,
+                                 interpret: bool = False,
+                                 normalize: bool = False):
+        from ..kernels.propagate_pallas import fused_elementwise_step
+
+        dx = self.state_dim
+        m = particles.shape[0]
+        A = jnp.broadcast_to(self.A, (m, dx, dx))
+        Q = jnp.broadcast_to(self.Q, (m, dx, dx))
+        if dx == 1:
+            F = jnp.sqrt(Q)
+        else:
+            # eigh factor handles singular Q (Hodrick–Prescott) —
+            # F·Fᵀ = Q exactly, same family as the MvNormal sampler's
+            s, V = jnp.linalg.eigh(Q)
+            F = V * jnp.sqrt(jnp.clip(s, 0.0))[..., None, :]
+        B = jnp.broadcast_to(self.B, (m, dx))
+        R = jnp.broadcast_to(self.R, (m,))
+        params = (
+            tuple(A[:, i, j] for i in range(dx) for j in range(dx))
+            + tuple(F[:, i, j] for i in range(dx) for j in range(dx))
+            + tuple(B[:, i] for i in range(dx))
+            + (R,)
+        )
+        planes = tuple(particles[..., c] for c in range(dx))
+        out = fused_elementwise_step(
+            _lg_update(dx), seed, y, params, planes, n_normals=dx,
+            tile_offset=tile_offset, normalize=normalize, interpret=interpret,
+        )
+        if normalize:
+            new_planes, log_norm, row_lse, ess = out
+            return (
+                jnp.stack(new_planes, axis=-1),
+                log_norm, row_lse[:, 0], ess[:, 0],
+            )
+        new_planes, logw = out
+        return jnp.stack(new_planes, axis=-1), logw
+
+    @staticmethod
+    def fused_tiles(m: int) -> int:
+        """See UCSVModel.fused_tiles — grid tiles for an M-row block."""
+        return m // 8 if m % 8 == 0 else 1
 
 
 def _as_matrix(v, dx):

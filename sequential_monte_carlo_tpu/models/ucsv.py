@@ -65,7 +65,8 @@ class UCSVModel:
     # shaped (M,)) and the whole (M, N, 3) cloud: propagate + reweight as one
     # VMEM-resident Pallas pass with on-chip PRNG.
     def fused_propagate_reweight(self, seed, y, particles, tile_offset=0,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 normalize: bool = False):
         from ..kernels.ucsv_pallas import ucsv_propagate_reweight
 
         x = particles[..., 0]
@@ -74,10 +75,17 @@ class UCSVModel:
         m = x.shape[0]
         ge = jnp.broadcast_to(self.gamma_eps, (m,))
         gn = jnp.broadcast_to(self.gamma_eta, (m,))
-        xo, lseo, lsno, logw = ucsv_propagate_reweight(
+        outs = ucsv_propagate_reweight(
             seed, y, ge, gn, x, lse, lsn,
-            interpret=interpret, tile_offset=tile_offset,
+            interpret=interpret, tile_offset=tile_offset, normalize=normalize,
         )
+        if normalize:
+            xo, lseo, lsno, log_norm, row_lse, ess = outs
+            return (
+                jnp.stack([xo, lseo, lsno], axis=-1),
+                log_norm, row_lse[:, 0], ess[:, 0],
+            )
+        xo, lseo, lsno, logw = outs
         return jnp.stack([xo, lseo, lsno], axis=-1), logw
 
     @staticmethod

@@ -249,6 +249,14 @@ def batched_pf_step(key, models, particles, log_w, y,
             lw = jnp.where(do, reset_lw, log_w)
 
     fused_model = _use_fused(config) and hasattr(models, "fused_propagate_reweight")
+    # normalize-epilogue route: the kernel also runs the per-row
+    # log-sum-exp + ESS on its resident block, skipping the separate XLA
+    # normalize sweeps below. Only valid when the pre-propagate weights are
+    # the constant −log N (always-resample, no elastic live-mask) — then
+    # the normalized weights depend on the increments alone.
+    fused_norm = (
+        fused_model and active_n is None and config.ess_threshold >= 1.0
+    )
     if fused_model:
         with jax.named_scope("pf_propagate_reweight_fused"):
             seed = jax.random.randint(k_prop, (), 0, jnp.iinfo(jnp.int32).max)
@@ -268,11 +276,13 @@ def batched_pf_step(key, models, particles, log_w, y,
                     # the unsharded run tile-for-tile when m_local % 8 == 0
                     off = jax.lax.axis_index(THETA_AXIS) * tiles
                     return models_l.fused_propagate_reweight(
-                        seed_, y_, xp_l, tile_offset=off
+                        seed_, y_, xp_l, tile_offset=off,
+                        normalize=fused_norm,
                     )
 
+                norm_specs = (P(THETA_AXIS, None), P(THETA_AXIS), P(THETA_AXIS))
                 with _interpret_ctx():
-                    x_new, incr = jax.shard_map(
+                    outs = jax.shard_map(
                         local_prop,
                         mesh=mesh,
                         in_specs=(
@@ -282,14 +292,22 @@ def batched_pf_step(key, models, particles, log_w, y,
                             P(),
                         ),
                         out_specs=(
-                            P(THETA_AXIS, None, None),
-                            P(THETA_AXIS, None),
+                            (P(THETA_AXIS, None, None),) + norm_specs
+                            if fused_norm
+                            else (P(THETA_AXIS, None, None), P(THETA_AXIS, None))
                         ),
                         check_vma=False,  # pallas_call can't annotate vma
                     )(models, xp, seed, jnp.asarray(y))
             else:
                 with _interpret_ctx():
-                    x_new, incr = models.fused_propagate_reweight(seed, y, xp)
+                    outs = models.fused_propagate_reweight(
+                        seed, y, xp, normalize=fused_norm
+                    )
+            if fused_norm:
+                x_new, log_norm, row_lse, ess = outs
+                log_n = jnp.log(jnp.asarray(float(n), dtype=log_w.dtype))
+                return BatchedPFOut(x_new, log_norm, row_lse - log_n, ess)
+            x_new, incr = outs
     else:
         with jax.named_scope("pf_propagate"):
             keys_p = jax.random.split(k_prop, m)

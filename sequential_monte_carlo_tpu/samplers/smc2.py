@@ -448,7 +448,11 @@ class SMC2:
 
             def dead(st):
                 # past the end of the series (tail padding of the last
-                # segment): state unchanged, a no-op info record
+                # segment) — or, in grow mode, an exchange fired and the
+                # scan HALTS in-graph until the host services the doubling
+                # (the halted steps re-run after the service, so segments
+                # can be dispatched back-to-back without a host sync per
+                # boundary): state unchanged, a no-op info record
                 return st, StepInfo(
                     ess=st.ess,
                     rejuvenated=jnp.asarray(False),
@@ -456,7 +460,10 @@ class SMC2:
                     log_evidence_incr=jnp.zeros_like(st.ess),
                 )
 
-            st, info = jax.lax.cond(st.t < T, live, dead, st)
+            alive = st.t < T
+            if self._grow:
+                alive = alive & ~st.exchange_pending
+            st, info = jax.lax.cond(alive, live, dead, st)
             out = (info, collect_fn(st)) if collect_fn else info
             return st, out
 
@@ -480,6 +487,17 @@ class SMC2:
 
         Returns the same ``(state, infos)`` / ``(state, (infos, series))``
         as :meth:`run`, trimmed to T−1 steps.
+
+        Host-sync discipline (the round-3 armed-elastic overhead fix): all
+        segments of a round are dispatched back-to-back WITHOUT waiting —
+        in grow mode the scan halts in-graph once ``exchange_pending``
+        fires (halted steps no-op and re-run after the service), so the
+        host fetches (t, pending) ONCE per round rather than once per
+        segment boundary. Rounds = 1 + the number of doublings that
+        actually fire (≤ log2(cap/N)); armed-but-idle runs pay a single
+        sync, the same as un-armed ones. A fired doubling is serviced one
+        step after its trigger (the triggering step completes at the old N,
+        matching the step()+maybe_exchange timing — DEVIATIONS.md §5).
         """
         y = jnp.asarray(y)
         T = int(y.shape[0])
@@ -492,16 +510,31 @@ class SMC2:
             )
             self._run_collect_cache[cache_key] = seg_fn
         state = self._init_jit(key, y)
+        t_done = 1  # init consumed y[0]
         chunks = []
-        for _ in range(-(-(T - 1) // seg)):
-            state, out = seg_fn(state, y)
-            chunks.append(out)
-            if self._grow and bool(state.exchange_pending):
-                # service the N-doubling raised inside the segment: re-pad
-                # to 2N + refilter (one scalar fetch per boundary; the
-                # doubling lands ≤ seg−1 steps after its trigger —
-                # DEVIATIONS.md §5). seg_fn retraces at the new shape,
-                # ≤ log2(cap/N) times total.
+        while t_done < T:
+            round_chunks = []
+            for _ in range(-(-(T - t_done) // seg)):
+                state, out = seg_fn(state, y)
+                round_chunks.append(out)
+            # the ONE host sync of the round
+            t_new, pending = jax.device_get(
+                (state.t, state.exchange_pending)
+            )
+            t_new = int(t_new)
+            adv = t_new - t_done
+            if adv > 0:
+                chunks.append(
+                    jax.tree.map(
+                        lambda *xs: jnp.concatenate(xs)[:adv], *round_chunks
+                    )
+                )
+            t_done = t_new
+            if self._grow and bool(pending):
+                # re-pad to 2N + refilter the consumed history; seg_fn
+                # retraces at the new shape, ≤ log2(cap/N) times total
                 state = self._service_exchange(state, y)
-        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs)[: T - 1], *chunks)
+            elif adv <= 0:  # defensive: a live step always advances t
+                raise RuntimeError("segmented run made no progress")
+        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
         return state, outs

@@ -138,17 +138,20 @@ def test_resample_gather_walk_bitwise(concentration):
     )
     from jax.experimental.pallas import tpu as pltpu
 
-    M, N, C = 4, 2048, 3
+    M, N, C = 32, 2048, 3
     w = jax.nn.softmax(
         jax.random.normal(jax.random.key(0), (M, N)) * concentration
     )
     xs = jax.random.normal(jax.random.key(1), (M, C, N))
     u = systematic_uniforms(jax.random.key(2), M, N)
-    with pltpu.force_tpu_interpret_mode():
-        out = resample_gather_walk(u, w, xs, tm=2)
     anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
     ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
-    assert bool(jnp.all(out == ref))
+    with pltpu.force_tpu_interpret_mode():
+        # tm=16 exercises the per-subgroup chunk bounds (n_sub=2);
+        # tm=2 the single-subgroup path
+        for tm in (16, 2):
+            out = resample_gather_walk(u, w, xs, tm=tm)
+            assert bool(jnp.all(out == ref)), tm
 
 
 
@@ -253,6 +256,150 @@ def test_ucsv_propagate_logw_consistent():
     expect = -0.5 * zz * zz - 0.5 * lsn - 0.5 * math.log(2 * math.pi)
     np.testing.assert_allclose(np.asarray(logw), np.asarray(expect),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ucsv_propagate_normalize_epilogue_consistent():
+    """normalize=True ≡ normalize=False + the XLA row normalize (same
+    seed → identical draws; the epilogue runs on the resident block)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from sequential_monte_carlo_tpu.kernels.ucsv_pallas import (
+        ucsv_propagate_reweight,
+    )
+
+    M, N = 8, 512
+    planar = jax.random.normal(jax.random.key(2), (M, 3, N)).astype(jnp.float32)
+    ge = jnp.full((M,), 0.3, jnp.float32)
+    gn = jnp.full((M,), 0.2, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x0, lse0, lsn0, logw = ucsv_propagate_reweight(
+            7, 1.3, ge, gn, planar[:, 0], planar[:, 1], planar[:, 2]
+        )
+        x1, lse1, lsn1, log_norm, row_lse, ess = ucsv_propagate_reweight(
+            7, 1.3, ge, gn, planar[:, 0], planar[:, 1], planar[:, 2],
+            normalize=True,
+        )
+    assert bool(jnp.all(x0 == x1)) and bool(jnp.all(lsn0 == lsn1))
+    lse_ref = jax.scipy.special.logsumexp(logw, axis=-1, keepdims=True)
+    np.testing.assert_allclose(
+        np.asarray(log_norm), np.asarray(logw - lse_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(row_lse), np.asarray(lse_ref), rtol=1e-5, atol=1e-5
+    )
+    w = jnp.exp(logw - lse_ref)
+    np.testing.assert_allclose(
+        np.asarray(ess[:, 0]), np.asarray(1.0 / jnp.sum(w * w, axis=-1)),
+        rtol=1e-4,
+    )
+    # normalized rows sum to 1
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(log_norm).sum(-1)), np.ones(M), rtol=1e-5
+    )
+
+
+def test_batched_step_fused_norm_route_consistent(setup):
+    """The fused normalize-epilogue route produces normalized rows and an
+    ESS/evidence consistent with its own log-weights (plumbing check on
+    the interpret-mode kernel; hardware parity in validate_tpu.py)."""
+    models_lg, y, M = setup
+    # UCSV models (the fused kernel's model family)
+    thetas = jnp.stack(
+        [jnp.asarray([0.3, 2.0, -0.5, -0.5]) for _ in range(M)]
+    )
+    models = jax.vmap(smc.ucsv_model)(thetas)
+    cfg = smc.PFConfig("systematic", 1.0, "on")
+    init = batched_pf_init(jax.random.key(0), models, 128, M, y[0])
+    out = batched_pf_step(
+        jax.random.key(1), models, init.particles, init.log_weights,
+        y[1], cfg,
+    )
+    lw = np.asarray(out.log_weights)
+    np.testing.assert_allclose(np.exp(lw).sum(-1), np.ones(M), rtol=1e-5)
+    ess = np.asarray(out.ess)
+    assert ((ess > 0) & (ess <= 128 + 1e-3)).all()
+    np.testing.assert_allclose(
+        ess, 1.0 / (np.exp(lw) ** 2).sum(-1), rtol=1e-3
+    )
+    assert np.isfinite(np.asarray(out.log_mean)).all()
+
+
+def test_fused_sv_deterministic_at_sigma_zero():
+    """σ=0 collapses the fused SV kernel's transition to the deterministic
+    AR(1) mean — output and logw must match the closed form bitwise-ish,
+    independent of the PRNG draws (generic-builder plumbing check)."""
+    import math
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N = 8, 256
+    thetas = jnp.tile(jnp.asarray([-1.0, 0.9, 0.0]), (M, 1))  # σ = 0
+    models = jax.vmap(smc.sv_model)(thetas)
+    x = jax.random.normal(jax.random.key(0), (M, N, 1)).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x_new, logw = models.fused_propagate_reweight(3, 0.7, x)
+    expect = -1.0 + 0.9 * (x[..., 0] + 1.0)
+    np.testing.assert_allclose(
+        np.asarray(x_new[..., 0]), np.asarray(expect), rtol=1e-5, atol=1e-6
+    )
+    lw_expect = (
+        -0.5 * 0.49 * np.exp(-np.asarray(expect))
+        - 0.5 * np.asarray(expect)
+        - 0.5 * math.log(2 * math.pi)
+    )
+    np.testing.assert_allclose(np.asarray(logw), lw_expect, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_lg_deterministic_at_q_zero():
+    """Q=0 makes the fused LG transition exactly A@x (univariate and the
+    2-dim Hodrick–Prescott companion form with its singular Q structure)."""
+    import math
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N = 8, 256
+    # univariate: A=0.5, Q=0, R=0.8
+    thetas = jnp.tile(jnp.asarray([0.5, 0.0, 0.8]), (M, 1))
+    models = jax.vmap(smc.lg_model)(thetas)
+    x = jax.random.normal(jax.random.key(1), (M, N, 1)).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x_new, logw = models.fused_propagate_reweight(4, 0.3, x)
+    np.testing.assert_allclose(
+        np.asarray(x_new[..., 0]), 0.5 * np.asarray(x[..., 0]), rtol=1e-5, atol=1e-6
+    )
+    delta = 0.3 - 0.5 * np.asarray(x[..., 0])
+    lw_expect = (
+        -0.5 * delta * delta / 0.8
+        - 0.5 * math.log(0.8)
+        - 0.5 * math.log(2 * math.pi)
+    )
+    np.testing.assert_allclose(np.asarray(logw), lw_expect, rtol=1e-4,
+                               atol=1e-5)
+
+    # Hodrick–Prescott (dx=2): the second state is a pure copy of the
+    # first (A row [1, 0], Q row 0) regardless of draws
+    hp = smc.hodrick_prescott(1600.0, np.array([1.0, 1.1, 1.2]))
+    hp_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (M,) + a.shape), hp)
+    xs2 = jax.random.normal(jax.random.key(2), (M, N, 2)).astype(jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        x2_new, logw2 = hp_b.fused_propagate_reweight(5, 1.05, xs2)
+    np.testing.assert_allclose(
+        np.asarray(x2_new[..., 1]), np.asarray(xs2[..., 0]), rtol=1e-5, atol=1e-6
+    )
+    assert np.isfinite(np.asarray(logw2)).all()
+
+
+def test_batched_step_fused_lg_statistics(setup):
+    """LG batched steps routed through the generic fused kernel keep the
+    logZ estimator consistent with the exact Kalman filter. (Hardware
+    PRNG statistics — TPU only; interpret mode's PRNG is a zeros stub.)"""
+    if jax.default_backend() != "tpu":
+        pytest.skip("on-chip PRNG statistics are only real on hardware")
+    models, y, M = setup
+    cfg = smc.PFConfig("systematic", 1.0, "on")
+    _, _, z = batched_log_likelihood(jax.random.key(5), models, 512, M, y, cfg)
+    kz = jax.vmap(lambda m: smc.kalman_log_likelihood(m, y)[1])(models)
+    assert np.abs(np.asarray(z - kz)).max() < 3.0
 
 
 @pytest.mark.skipif(
