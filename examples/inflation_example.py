@@ -172,10 +172,10 @@ def run_pf_at_theta_hat(name, model, y, n, outdir, dates=None):
     print(f"[{name}] PF at θ̂: logZ={float(logz):.2f}")
 
     # smoothed trend at θ̂ — beyond the reference (which only filters):
-    # FFBS marginal smoother, same model/θ̂, capped N (the backward pass
-    # is O(T·N²) pairwise densities)
-    n_s = min(n, 2048)
-    sm = smc.smoothed_marginals(jax.random.key(1), model, n_s, y)
+    # FFBS marginal smoother at the FULL filter N (round 4: the blocked
+    # streaming-log-sum-exp backward pass lifts the former min(n, 2048)
+    # cap — O(block·N) memory, same math)
+    sm = smc.smoothed_marginals(jax.random.key(1), model, n, y)
     trend = np.asarray(smc.smoothed_mean(sm))[:, 0]
     w_s = np.asarray(jnp.exp(sm.log_weights))
     xs0 = np.asarray(sm.particles)[..., 0]
@@ -189,6 +189,29 @@ def run_pf_at_theta_hat(name, model, y, n, outdir, dates=None):
         dates=dates, annotation=ANNOT,
     )
     return np.asarray(series["summary"]["var"])
+
+
+def run_posterior_smoothing(name, model_fn, state, y, n, outdir, dates=None,
+                            n_theta=8, n_paths=64):
+    """θ-posterior-mixture smoothed trend (round 4, beyond-reference):
+    pooled backward-sampling FFBS draws across θ's drawn from the SMC²
+    posterior ω — p(x_t | y_{1:T}) with θ-uncertainty integrated out,
+    rather than plugged in at θ̂."""
+    paths = smc.posterior_smoothed_paths(
+        jax.random.key(11), model_fn, state.theta, state.log_omega, y,
+        n=n, n_theta=n_theta, n_paths=n_paths,
+    )
+    trend = np.asarray(paths)[:, :, 0]  # (T, K·m)
+    lo, med, hi = np.percentile(trend, [10, 50, 90], axis=1)
+    plot_filtered_band(
+        np.asarray(y), lo, med, hi,
+        label=f"posterior-mixture smoothed trend ({name}, FFBS)",
+        title="quarterly PCE inflation rate (θ integrated out, smoothed)",
+        path=os.path.join(outdir, f"pce_inflation_trend_{name}_postmix.png"),
+        dates=dates, annotation=ANNOT,
+    )
+    print(f"[{name}] posterior-mixture smoothing: {trend.shape[1]} paths "
+          f"({n_theta} θ-draws × {n_paths})")
 
 
 def main():
@@ -221,6 +244,10 @@ def main():
         )
         ratios.append(np.log(uc_vars + eps) - np.log(uc_pred_vars[1:] + eps))
         labels.append("log variance ratio (UC)")
+        run_posterior_smoothing(
+            "uc", smc.uc_model, uc_state, y, uc_sizes[0], args.outdir,
+            dates=dates,
+        )
 
     if args.model in ("ucsv", "both"):
         # -- UC-SV model (inflation_example.jl:229-267) --
@@ -234,6 +261,10 @@ def main():
         )
         ratios.append(np.log(ucsv_vars + eps) - np.log(ucsv_pred_vars[1:] + eps))
         labels.append("log variance ratio (UCSV)")
+        run_posterior_smoothing(
+            "ucsv", smc.ucsv_model, ucsv_state, y, ucsv_sizes[0],
+            args.outdir, dates=dates,
+        )
 
     # -- log variance ratio (inflation_example.jl:404-423) --
     plot_variance_ratio(
