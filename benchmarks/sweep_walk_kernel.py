@@ -34,10 +34,10 @@ from sequential_monte_carlo_tpu.kernels.resample_walk import (
 )
 
 
-def time_config(m, n, c, tm, ot, cw, iters):
+def time_config(m, n, c, tm, ot, cw, iters, skew=0.3):
     key = jax.random.key(0)
     xs = jax.random.normal(jax.random.key(1), (m, c, n), jnp.float32)
-    logw = jax.random.normal(jax.random.key(2), (m, n)) * 0.3
+    logw = jax.random.normal(jax.random.key(2), (m, n)) * skew
     w = jnp.exp(logw - logw.max(axis=-1, keepdims=True))
 
     @jax.jit
@@ -77,11 +77,12 @@ def main():
     p.add_argument("--tms", type=int, nargs="*", default=[4, 8])
     p.add_argument("--ots", type=int, nargs="*", default=[128, 256, 512])
     p.add_argument("--cws", type=int, nargs="*", default=[128, 256])
+    p.add_argument("--skew", type=float, default=0.3)
     args = p.parse_args()
 
     for tm, ot, cw in itertools.product(args.tms, args.ots, args.cws):
         try:
-            ms = time_config(args.m, args.n, args.c, tm, ot, cw, args.iters)
+            ms = time_config(args.m, args.n, args.c, tm, ot, cw, args.iters, args.skew)
             print(f"tm={tm} ot={ot} cw={cw}: {ms:.3f} ms/call", flush=True)
         except Exception as e:  # noqa: BLE001 — sweep survives bad configs
             print(f"tm={tm} ot={ot} cw={cw}: FAIL {type(e).__name__}: "

@@ -99,7 +99,44 @@ def validate(m, n):
           f"u0_route_bitwise={ok_u0} degenerate={ok_deg} "
           f"stats(mean={z.mean():+.4f}, std={z.std():.4f})={ok_stats} "
           f"logw={ok_logw}", flush=True)
-    return ok_gather and ok_u0 and ok_deg and ok_stats and ok_logw
+
+    # 4. the normalize epilogue (round 4) ≡ kernel logw + XLA normalize
+    x1, lse1, lsn1, log_norm, row_lse, ess = ucsv_propagate_reweight(
+        7, 1.3, gam, gam, g[:, 0], g[:, 1], g[:, 2], normalize=True
+    )
+    lse_ref = jax.scipy.special.logsumexp(logw, axis=-1, keepdims=True)
+    ok_norm = (
+        bool(jnp.all(x1 == x))  # same seed → identical draws
+        and bool(jnp.allclose(log_norm, logw - lse_ref, rtol=1e-5, atol=1e-5))
+        and bool(jnp.allclose(row_lse, lse_ref, rtol=1e-5, atol=1e-5))
+    )
+
+    # 5. generic builder kernels (round 4): SV + LG draws on-chip.
+    # σ-scaled increment of the fused SV step must be N(0, 1).
+    import sequential_monte_carlo_tpu as smc
+
+    thetas = jnp.tile(jnp.asarray([-1.0, 0.9, 0.3]), (m, 1))
+    sv = jax.vmap(smc.sv_model)(thetas)
+    xs0 = jax.random.normal(jax.random.key(9), (m, n, 1)).astype(jnp.float32)
+    xs1, lw_sv = sv.fused_propagate_reweight(11, 0.7, xs0)
+    zs = np.asarray(
+        (xs1[..., 0] - (-1.0 + 0.9 * (xs0[..., 0] + 1.0))) / 0.3
+    )
+    ok_sv = abs(zs.mean()) < 0.05 and abs(zs.std() - 1.0) < 0.05
+
+    thetas_lg = jnp.tile(jnp.asarray([0.5, 0.81, 0.8]), (m, 1))
+    lg = jax.vmap(smc.lg_model)(thetas_lg)
+    xl0 = jax.random.normal(jax.random.key(10), (m, n, 1)).astype(jnp.float32)
+    xl1, lw_lg = lg.fused_propagate_reweight(12, 0.3, xl0)
+    zl = np.asarray((xl1[..., 0] - 0.5 * xl0[..., 0]) / 0.9)
+    ok_lg = abs(zl.mean()) < 0.05 and abs(zl.std() - 1.0) < 0.05
+
+    print(f"  norm_epilogue={ok_norm} "
+          f"sv_builder(mean={zs.mean():+.4f}, std={zs.std():.4f})={ok_sv} "
+          f"lg_builder(mean={zl.mean():+.4f}, std={zl.std():.4f})={ok_lg}",
+          flush=True)
+    return (ok_gather and ok_u0 and ok_deg and ok_stats and ok_logw
+            and ok_norm and ok_sv and ok_lg)
 
 
 def time_two_kernel(m, n, iters):

@@ -17,10 +17,31 @@ whole propagate+reweight step is VPU work that XLA fuses into one kernel
 """
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 from ..distributions import Normal, TupleProduct
 from ..utils.struct import pytree_dataclass
+
+_HALF_LOG_2PI = 0.5 * math.log(2.0 * math.pi)
+
+
+def _ucsv_update(par, y, state, normals):
+    """Per-particle UC-SV step for the generic fused kernel builder
+    (kernels/propagate_pallas.py) — op-for-op the math of the bespoke
+    ``ucsv_pallas`` kernel (same Box–Muller draw order), so the two routes
+    are bitwise-equal at the same seed."""
+    ge, gn = par
+    x, lse, lsn = state
+    z0, z1, z2 = normals
+    x_new = x + jnp.exp(0.5 * lse) * z0
+    lse_new = lse + ge * z1
+    lsn_new = lsn + gn * z2
+    s_inv = jnp.exp(-0.5 * lsn_new)
+    zz = (y - x_new) * s_inv
+    logw = -0.5 * zz * zz - 0.5 * lsn_new - _HALF_LOG_2PI
+    return (x_new, lse_new, lsn_new), logw
 
 
 @pytree_dataclass
