@@ -230,10 +230,15 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     )
     k_start = jnp.minimum(k_start, n_chunks - 1)
     k_last = jnp.minimum(k_last, n_chunks - 1)
-    # subgroup-shared bounds: min start / max end over each 8-row sublane
-    # tile (not the whole TM group — the union over 16 rows cost ~1.4×
-    # the visits of the 8-row span, measured round 3)
-    n_sub = tm // 8 if tm % 8 == 0 else 1
+    # group-shared bounds: min start / max end over the TM rows.
+    # Per-8-row-subgroup bounds (n_sub = tm // 8) were built and measured
+    # in round 4 — bitwise-equal, and SLOWER in real runs (flagship bench
+    # 12.1 → 13.5 s; per-call parity at mild skew): when row spans
+    # coincide the per-(tile, subgroup) fixed costs (fori_loop setup,
+    # 2× output writes, matmul issue latency) double while the mask
+    # volume stays equal, eating the narrower-span win. The machinery is
+    # kept (n_sub > 1 still works) as the recorded ablation.
+    n_sub = 1
     sb = tm // n_sub
     gks = k_start.reshape(n_groups * n_sub, sb, n_tiles).min(axis=1)
     gke = (k_last.reshape(n_groups * n_sub, sb, n_tiles).max(axis=1) + 1)

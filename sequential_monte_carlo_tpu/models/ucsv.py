@@ -88,7 +88,13 @@ class UCSVModel:
     def fused_propagate_reweight(self, seed, y, particles, tile_offset=0,
                                  interpret: bool = False,
                                  normalize: bool = False):
-        from ..kernels.ucsv_pallas import ucsv_propagate_reweight
+        # Routed through the generic builder since round 4: bitwise-equal
+        # to the bespoke ``ucsv_pallas`` kernel ON HARDWARE at the same
+        # seed (same Box–Muller draw order) and measured faster — 0.919 vs
+        # 0.977 ms/call at 512×8192 — because the per-θ γ's ride as (M, 1)
+        # VMEM columns instead of (M, N) HBM broadcasts
+        # (benchmarks/bench_propagate_builder.py).
+        from ..kernels.propagate_pallas import fused_elementwise_step
 
         x = particles[..., 0]
         lse = particles[..., 1]
@@ -96,18 +102,17 @@ class UCSVModel:
         m = x.shape[0]
         ge = jnp.broadcast_to(self.gamma_eps, (m,))
         gn = jnp.broadcast_to(self.gamma_eta, (m,))
-        outs = ucsv_propagate_reweight(
-            seed, y, ge, gn, x, lse, lsn,
-            interpret=interpret, tile_offset=tile_offset, normalize=normalize,
+        out = fused_elementwise_step(
+            _ucsv_update, seed, y, (ge, gn), (x, lse, lsn), n_normals=3,
+            tile_offset=tile_offset, normalize=normalize, interpret=interpret,
         )
         if normalize:
-            xo, lseo, lsno, log_norm, row_lse, ess = outs
+            planes, log_norm, row_lse, ess = out
             return (
-                jnp.stack([xo, lseo, lsno], axis=-1),
-                log_norm, row_lse[:, 0], ess[:, 0],
+                jnp.stack(planes, axis=-1), log_norm, row_lse[:, 0], ess[:, 0]
             )
-        xo, lseo, lsno, logw = outs
-        return jnp.stack([xo, lseo, lsno], axis=-1), logw
+        planes, logw = out
+        return jnp.stack(planes, axis=-1), logw
 
     @staticmethod
     def fused_tiles(m: int) -> int:

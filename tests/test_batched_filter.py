@@ -298,6 +298,24 @@ def test_ucsv_propagate_normalize_epilogue_consistent():
     )
 
 
+def test_batched_step_fused_adaptive_keeps_xla_normalize(setup):
+    """With ess_threshold < 1 the normalize epilogue must gate OFF (the
+    pre-propagate weights are no longer the constant −log N); the fused
+    resample route still runs and weights stay normalized."""
+    models_lg, y, M = setup
+    thetas = jnp.stack([jnp.asarray([0.3, 2.0, -0.5, -0.5])] * M)
+    models = jax.vmap(smc.ucsv_model)(thetas)
+    cfg = smc.PFConfig("systematic", 0.5, "on")
+    init = batched_pf_init(jax.random.key(0), models, 128, M, y[0])
+    out = batched_pf_step(
+        jax.random.key(1), models, init.particles, init.log_weights,
+        y[1], cfg,
+    )
+    lw = np.asarray(out.log_weights)
+    np.testing.assert_allclose(np.exp(lw).sum(-1), np.ones(M), rtol=1e-4)
+    assert np.isfinite(np.asarray(out.log_mean)).all()
+
+
 def test_batched_step_fused_norm_route_consistent(setup):
     """The fused normalize-epilogue route produces normalized rows and an
     ESS/evidence consistent with its own log-weights (plumbing check on
