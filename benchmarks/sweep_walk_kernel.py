@@ -34,7 +34,7 @@ from sequential_monte_carlo_tpu.kernels.resample_walk import (
 )
 
 
-def time_config(m, n, c, tm, ot, cw, iters, skew=0.3):
+def time_config(m, n, c, tm, ot, cw, iters, skew=0.3, xor_mask=False):
     key = jax.random.key(0)
     xs = jax.random.normal(jax.random.key(1), (m, c, n), jnp.float32)
     logw = jax.random.normal(jax.random.key(2), (m, n)) * skew
@@ -45,7 +45,8 @@ def time_config(m, n, c, tm, ot, cw, iters, skew=0.3):
         def body(carry, k):
             xs, w = carry
             u = systematic_uniforms(k, m, n, dtype=w.dtype)
-            out = resample_gather_walk(u, w, xs, tm=tm, ot=ot, cw=cw)
+            out = resample_gather_walk(u, w, xs, tm=tm, ot=ot, cw=cw,
+                                       xor_mask=xor_mask)
             # cheap dependency so the next iteration waits on this one
             w2 = jnp.abs(out[:, 0, :])
             w2 = w2 / jnp.sum(w2, axis=-1, keepdims=True)
@@ -78,11 +79,13 @@ def main():
     p.add_argument("--ots", type=int, nargs="*", default=[128, 256, 512])
     p.add_argument("--cws", type=int, nargs="*", default=[128, 256])
     p.add_argument("--skew", type=float, default=0.3)
+    p.add_argument("--xor", action="store_true")
     args = p.parse_args()
 
     for tm, ot, cw in itertools.product(args.tms, args.ots, args.cws):
         try:
-            ms = time_config(args.m, args.n, args.c, tm, ot, cw, args.iters, args.skew)
+            ms = time_config(args.m, args.n, args.c, tm, ot, cw, args.iters,
+                             args.skew, args.xor)
             print(f"tm={tm} ot={ot} cw={cw}: {ms:.3f} ms/call", flush=True)
         except Exception as e:  # noqa: BLE001 — sweep survives bad configs
             print(f"tm={tm} ot={ot} cw={cw}: FAIL {type(e).__name__}: "

@@ -64,7 +64,7 @@ from .resample_pallas import _to_byte_planes, resample_gather_bytes
 
 
 def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
-            *, cw: int, n_sub: int):
+            *, cw: int, n_sub: int, xor_mask: bool):
     tm, ot, n_tiles = ut_ref.shape
     c4 = xs_ref.shape[1]  # byte planes = 4 · padded components
     c = c4 // 4
@@ -95,20 +95,58 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
             ks = ks_ref[(g * n_sub + s) * n_tiles + t]
             ke = ke_ref[(g * n_sub + s) * n_tiles + t]
 
-            def chunk_body(k, acc, rows=rows, u_s=u_s):
-                lo = cdfp_ref[rows, :, pl.ds(k * cw, cw)]  # (SB, 1, CW)
-                hi = cdf_ref[rows, :, pl.ds(k * cw, cw)]
-                band = ((u_s > lo) & (u_s <= hi)).astype(jnp.int8)
-                return acc + jax.lax.dot_general(
-                    xs_ref[rows, :, pl.ds(k * cw, cw)],  # (SB, 4C, CW) int8
-                    band,  # (SB, OT, CW)
-                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.int32,
-                )
+            if xor_mask:
+                # single-compare band mask: c_j = (u ≤ cdf_j) is monotone
+                # in j, so band_j = c_j & ¬c_{j-1} = c_j XOR c_{j-1} with
+                # c_{j-1} = c lane-shifted right by one, the carry column
+                # riding the fori_loop (c_{-1} of the FIRST chunk comes
+                # from one narrow compare against cdfp's first column).
+                # ABLATION RECORD — interpret-mode-correct but DOES NOT
+                # COMPILE on hardware (round 4): the odd-width lane
+                # slices/concat (CW−1 and width-1) do not legalize in
+                # Mosaic. This is the lane-major analog of gen-3's
+                # sublane xor mask (which DID win, in the layout that
+                # lost overall); on this layout every legal substitute
+                # for the shift (roll+select+one-hot extract) costs more
+                # ops than the compare it saves. Do not flip on.
+                lo0 = cdfp_ref[rows, :, pl.ds(ks * cw, cw)][:, :, :1]
+                prev0 = u_s <= lo0  # (SB, OT, 1)
 
-            acc = jax.lax.fori_loop(
-                ks, ke, chunk_body, jnp.zeros((sb, c4, ot), jnp.int32)
-            )
+                def chunk_body(k, carry, rows=rows, u_s=u_s):
+                    acc, prev_col = carry
+                    hi = cdf_ref[rows, :, pl.ds(k * cw, cw)]
+                    cle = u_s <= hi  # (SB, OT, CW)
+                    shifted = jnp.concatenate(
+                        [prev_col, cle[:, :, :-1]], axis=2
+                    )
+                    band = (cle ^ shifted).astype(jnp.int8)
+                    acc = acc + jax.lax.dot_general(
+                        xs_ref[rows, :, pl.ds(k * cw, cw)],
+                        band,
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32,
+                    )
+                    return acc, cle[:, :, -1:]
+
+                acc, _ = jax.lax.fori_loop(
+                    ks, ke, chunk_body,
+                    (jnp.zeros((sb, c4, ot), jnp.int32), prev0),
+                )
+            else:
+                def chunk_body(k, acc, rows=rows, u_s=u_s):
+                    lo = cdfp_ref[rows, :, pl.ds(k * cw, cw)]  # (SB, 1, CW)
+                    hi = cdf_ref[rows, :, pl.ds(k * cw, cw)]
+                    band = ((u_s > lo) & (u_s <= hi)).astype(jnp.int8)
+                    return acc + jax.lax.dot_general(
+                        xs_ref[rows, :, pl.ds(k * cw, cw)],  # (SB, 4C, CW)
+                        band,  # (SB, OT, CW)
+                        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.int32,
+                    )
+
+                acc = jax.lax.fori_loop(
+                    ks, ke, chunk_body, jnp.zeros((sb, c4, ot), jnp.int32)
+                )
 
             b0 = acc[:, 0 * c : 1 * c, :] & 0xFF
             b1 = acc[:, 1 * c : 2 * c, :] & 0xFF
@@ -123,10 +161,12 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "ot", "cw", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tm", "ot", "cw", "interpret",
+                                             "xor_mask"))
 def resample_gather_walk(u, weights, xs, tm: int | None = None,
                          ot: int = 128, cw: int = 128,
-                         interpret: bool = False, u0=None):
+                         interpret: bool = False, u0=None,
+                         xor_mask: bool = False):
     """Fused sorted-uniform resample + ancestor gather, chunk-walk kernel.
 
     Args:
@@ -279,7 +319,7 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, cw=cw, n_sub=n_sub),
+        functools.partial(_kernel, cw=cw, n_sub=n_sub, xor_mask=xor_mask),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m, c_pad, n), jnp.float32),
         interpret=interpret,
