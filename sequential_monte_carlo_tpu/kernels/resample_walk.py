@@ -223,7 +223,11 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
             return tm_ * n * per_el
 
         budget = 16 * 8192 * (4 + 64 + 16 + 32)  # = group_bytes at the calibration point
-        tm = 16
+        # round-4 sweep at 512×1024 skew 2: tm=32 1.056 ms < tm=16 1.105 <
+        # tm=64 1.138 — the grid-pipelining win extends one more doubling
+        # at small N before the wider union spans eat it. Start at 32 for
+        # n ≤ 2048 (VMEM-safe there); larger N starts at the measured 16.
+        tm = 32 if n <= 2048 else 16
         while tm > 1 and group_bytes(tm) > budget:
             tm //= 2
     while m % tm:
