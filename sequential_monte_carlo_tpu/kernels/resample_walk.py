@@ -11,8 +11,8 @@ Kernel evolution (measured at M=512, N=8192, v5e; PERF_NOTES.md):
 dense-bytes ≈ 58 ms (VPU-bound N² mask build) → banded ≈ 56 ms (per-step
 windowed-DMA latency + host searchsorted prep) → v3 walk 8.5 ms → this
 "free-slice" walk **6.2 ms incl. prep** (tm=16, c_pad=4; a gen-5
-lane-gather variant, ``resample_take_walk.py``, measured 16 ms and is
-kept only as the recorded ablation). v3 kept the CDF lane-transposed
+lane-gather variant, ``benchmarks/ablations/resample_take_walk.py``,
+measured 16 ms and is kept only as the recorded ablation). v3 kept the CDF lane-transposed
 ``(TM, CW, N/CW)`` so a chunk was a width-1 lane column, but extracting it
 cost a full one-hot sweep per chunk visit, and its xor band mask needed
 sublane shift/concat carry bookkeeping — together ~2/3 of per-visit cost.
@@ -63,6 +63,34 @@ from jax.experimental.pallas import tpu as pltpu
 from .resample_pallas import _to_byte_planes, resample_gather_bytes
 
 
+def _autotune_tm(c: int, n: int) -> int:
+    """θ-rows per grid step, by measured speed + an explicit VMEM model.
+
+    Speed (v5e sweeps, skew-2 log-weights): tm=16 beats tm=8 at every
+    size (32 grid steps pipeline better than 64, round 3), and at
+    N ≤ 2048 one more doubling wins (round 4, 512×1024: tm=32 1.056 ms <
+    tm=16 1.105 < tm=64 1.138 — beyond that the wider group-union chunk
+    bounds eat the grid savings).
+
+    VMEM: the per-group blocks (int8 planes + f32 out + two
+    sublane-padded cdf streams + the u grid) grow with BOTH the padded
+    component count and N; tm=16 at (c_pad=8, N=8192) exceeds the 16 MB
+    scoped-VMEM limit (a Mosaic compile error, not a fallback). Halve tm
+    while the per-group byte estimate exceeds a budget calibrated so
+    (tm=16, c_pad=4, N=8192) sits AT it (measured to fit) and
+    (tm=16, c_pad=8, N=8192) exceeds it (measured OOM). Per element of
+    the tm·n tile: u grid 4 B + two cdf streams at 8-sublane padding
+    (2·8·4 B) + 4·c_pad int8 planes + the 8-sublane-rounded f32 output.
+    """
+    c_pad = -(-c // 4) * 4
+    per_el = 4 + 64 + 4 * c_pad + (-(-c_pad // 8) * 8) * 4
+    budget = 16 * 8192 * (4 + 64 + 16 + 32)  # the calibration point
+    tm = 32 if n <= 2048 else 16
+    while tm > 1 and tm * n * per_el > budget:
+        tm //= 2
+    return tm
+
+
 def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
             *, cw: int, n_sub: int, xor_mask: bool):
     tm, ot, n_tiles = ut_ref.shape
@@ -83,12 +111,12 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
         ).astype(jnp.float32)
         u_t = jnp.sum(ut_ref[...] * sel, axis=2, keepdims=True)
 
-        # per-SUBGROUP chunk bounds (static unrolled loop): the group-union
-        # bounds that let tm=16 pipeline its grid also widened every
-        # tile's walk to the 16-row union span; walking each 8-row sublane
-        # tile with its own bounds keeps the tm=8 visit count at the tm=16
-        # grid-step count. Bitwise-identical output — skipped chunks
-        # contribute all-zero bands by construction.
+        # subgroup loop (n_sub=1 in production — one union-bounds walk per
+        # group). Per-8-row-subgroup bounds (n_sub=tm//8) are
+        # bitwise-identical but measured SLOWER in real runs (see
+        # _autotune_tm / PERF_NOTES round 4): when row spans coincide the
+        # per-(tile, subgroup) fixed costs double while the mask volume
+        # stays equal. Kept as the parameterized ablation.
         for s in range(n_sub):
             rows = slice(s * sb, (s + 1) * sb)
             u_s = u_t[rows]
@@ -195,41 +223,7 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     m, n = weights.shape
     sys_u = u0 is not None
     if tm is None:
-        # re-swept on v5e 2026-08-20 with c_pad=4 byte planes (which freed
-        # the VMEM that made tm=16 OOM at c_pad=8): tm=16/ot=128 wins at
-        # BOTH N=8192 (6.18 vs 6.84 ms, mild skew; 6.79 vs 7.46 at skew 2;
-        # 10.0 vs 10.7 at skew 8) and N=1024 (1.18 vs 1.25; 1.48 vs 1.72
-        # at skew 2). Caveat: at N=1024 under EXTREME weight skew (σ=8
-        # log-weights) the wider group-union chunk bounds cost more than
-        # the grid savings (2.34 vs 1.75 ms) — atypical for the
-        # always-resample steady state, where weights carry one
-        # observation's increment.
-        #
-        # VMEM-aware scaling: the per-group blocks (int8 planes + f32 out
-        # + two sublane-padded cdf streams) grow with BOTH the padded
-        # component count and N; tm=16 at (c_pad=8, N=8192) exceeds the
-        # 16 MB scoped-VMEM limit (a Mosaic compile error, not a fallback).
-        # Halve tm while an explicit per-group byte estimate exceeds the
-        # budget — calibrated so (tm=16, c_pad=4, N=8192) sits AT the
-        # budget (measured to fit on v5e) and (tm=16, c_pad=8, N=8192)
-        # exceeds it (measured Mosaic OOM). Per element of the tm·n tile:
-        # u grid 4 B (f32, ot·n_tiles = n) + two cdf streams at 8-sublane
-        # padding (2·8·4 B) + 4·c_pad int8 planes + the f32 output at
-        # 8-sublane-rounded c_pad.
-        c_pad_est = -(-xs.shape[1] // 4) * 4
-
-        def group_bytes(tm_):
-            per_el = 4 + 64 + 4 * c_pad_est + (-(-c_pad_est // 8) * 8) * 4
-            return tm_ * n * per_el
-
-        budget = 16 * 8192 * (4 + 64 + 16 + 32)  # = group_bytes at the calibration point
-        # round-4 sweep at 512×1024 skew 2: tm=32 1.056 ms < tm=16 1.105 <
-        # tm=64 1.138 — the grid-pipelining win extends one more doubling
-        # at small N before the wider union spans eat it. Start at 32 for
-        # n ≤ 2048 (VMEM-safe there); larger N starts at the measured 16.
-        tm = 32 if n <= 2048 else 16
-        while tm > 1 and group_bytes(tm) > budget:
-            tm //= 2
+        tm = _autotune_tm(xs.shape[1], n)
     while m % tm:
         tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:
