@@ -155,6 +155,20 @@ def test_resample_gather_walk_bitwise(concentration):
 
 
 
+def test_walk_kernel_tm_autotune():
+    """The VMEM-model autotune reproduces every measured fit/OOM point and
+    downshifts for non-power-of-two sizes (ADVICE r3 #1)."""
+    from sequential_monte_carlo_tpu.kernels.resample_walk import _autotune_tm
+
+    assert _autotune_tm(3, 1024) == 32  # round-4 sweep winner at small N
+    assert _autotune_tm(3, 2048) == 32
+    assert _autotune_tm(3, 8192) == 16  # measured to fit (c_pad=4)
+    assert _autotune_tm(8, 8192) == 8  # measured Mosaic OOM at tm=16
+    assert _autotune_tm(3, 12288) == 8  # non-power-of-two N downshifts
+    assert _autotune_tm(12, 8192) == 8  # c_pad=12 downshifts
+    assert _autotune_tm(3, 16384) == 8
+
+
 def test_resample_gather_walk_u0_route_bitwise():
     """The (M, 1)-offset route (the one the samplers dispatch for
     systematic resampling) ≡ passing the materialized grid ≡ the
