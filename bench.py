@@ -5,11 +5,15 @@ BASELINE.md north-star config 5), T=241.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "flagship": {"metric": ..., "value": N, "vs_baseline": N}}
+   "runs": [...], "spread": N,
+   "flagship": {"metric": ..., "value": N, "vs_baseline": N, ...}}
 
 The primary fields stay the 512×1024 headline (driver-parsed, stable
 across rounds); the "flagship" object carries the 512×8192 run so a
 flagship regression shows up in BENCH_r{N}.json (VERDICT r3 #6).
+``value`` is best-of-k; ``runs``/``spread`` carry every timed run so
+regressions are distinguishable from the axon tunnel's ~0.2–0.5 s
+dispatch noise (VERDICT r4 #8): headline k=3, flagship k=2.
 
 ``vs_baseline`` is the speedup over the reference-faithful CPU baseline
 measured with benchmarks/baseline_numpy.py on this machine (per-θ NumPy
@@ -91,7 +95,13 @@ BASELINE_CPU_WALLCLOCK_S = {
 
 
 def _measure(smc, jax, jnp, y, m, n, t, chain, repeats):
-    """Compile-warm + best-of-``repeats`` timed runs; returns (best_s, ok)."""
+    """Compile-warm + best-of-``repeats`` timed runs.
+
+    Returns (runs, ok) with ``runs`` the list of per-run wall-clocks —
+    the axon tunnel adds ~0.2–0.5 s of dispatch noise and occasional
+    dial-hangs (PERF_NOTES round 4), so the driver JSON reports
+    best-of-k PLUS the spread so a regression is distinguishable from
+    tunnel variance (VERDICT r4 #8)."""
     prior = smc.product_distribution(
         [
             smc.Uniform(jnp.asarray(0.0), jnp.asarray(1.0)),
@@ -109,13 +119,13 @@ def _measure(smc, jax, jnp, y, m, n, t, chain, repeats):
     state, infos = sampler.run(jax.random.key(99), y)
     jax.block_until_ready(state)
 
-    best = float("inf")
+    runs = []
     for r in range(repeats):
         t0 = time.perf_counter()
         state, infos = sampler.run(jax.random.key(r), y)
         jax.block_until_ready(state)
-        best = min(best, time.perf_counter() - t0)
-    return best, bool(jnp.isfinite(state.ess))
+        runs.append(round(time.perf_counter() - t0, 4))
+    return runs, bool(jnp.isfinite(state.ess))
 
 
 def main():
@@ -124,7 +134,8 @@ def main():
     p.add_argument("--n", type=int, default=1024)
     p.add_argument("--t", type=int, default=241)
     p.add_argument("--chain", type=int, default=5)
-    p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--flagship-repeats", type=int, default=2)
     p.add_argument("--no-flagship", action="store_true",
                    help="skip the 512x8192 flagship config")
     p.add_argument("--flagship-n", type=int, default=8192)
@@ -163,7 +174,7 @@ def main():
         dtype=jnp.float32,
     )
 
-    best, ok = _measure(
+    runs, ok = _measure(
         smc, jax, jnp, y, args.m, args.n, args.t, args.chain, args.repeats
     )
     if not ok:
@@ -172,19 +183,24 @@ def main():
                           "error": "non-finite ESS"}))
         sys.exit(1)
 
+    best = min(runs)
     baseline = BASELINE_CPU_WALLCLOCK_S.get((args.m, args.n))
     result = {
         "metric": f"smc2_ucsv_{args.m}x{args.n}_T{args.t}_wallclock",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(baseline / best, 2) if baseline else 0.0,
+        # tunnel-noise characterization (VERDICT r4 #8): all runs + spread
+        "runs": runs,
+        "spread": round(max(runs) - best, 4),
     }
 
     if not args.no_flagship and args.flagship_n != args.n:
-        fbest, fok = _measure(
+        fruns, fok = _measure(
             smc, jax, jnp, y, args.m, args.flagship_n, args.t, args.chain,
-            args.repeats,
+            args.flagship_repeats,
         )
+        fbest = min(fruns)
         fbaseline = BASELINE_CPU_WALLCLOCK_S.get((args.m, args.flagship_n))
         result["flagship"] = {
             "metric": (
@@ -195,6 +211,8 @@ def main():
             "vs_baseline": (
                 round(fbaseline / fbest, 2) if (fok and fbaseline) else 0.0
             ),
+            "runs": fruns,
+            "spread": round(max(fruns) - fbest, 4),
         }
 
     print(json.dumps(result))

@@ -20,8 +20,21 @@ This is the scaling analog of the reference's only parallelism —
 ``Threads.@threads`` over θ (/root/reference/src/smc_samplers.jl:112,174,223)
 — moved to a host-spanning device mesh.
 
+Two driver configurations (VERDICT r4 #7 — report BOTH in BASELINE.md):
+
+  * default (M=128, N=256, 16 steps): per-step device work is tens of ms,
+    comparable to localhost-gRPC sync — the measured efficiency mixes
+    core contention with collective latency (a lower bound).
+  * ``--compute-bound`` (M=64, N=16384, 4 steps): per-step device work is
+    hundreds of ms, ≫ sync cost — the efficiency then isolates the
+    collective COUNT/structure of the sharded step (how much work the
+    program duplicates or serializes across hosts), which is the part
+    this rig CAN characterize. Core contention still applies where
+    virtual devices outnumber physical cores.
+
 Usage (driver, CPU): python benchmarks/bench_multihost.py
   [--procs 2] [--m 128] [--n 256] [--t 32] [--devices-per-proc 4]
+  [--compute-bound]
 """
 from __future__ import annotations
 
@@ -157,7 +170,12 @@ def main():
     ap.add_argument("--t", type=int, default=32)
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--devices-per-proc", type=int, default=4)
+    ap.add_argument("--compute-bound", action="store_true",
+                    help="preset: M=64, N=16384, 4 steps, T=8 — per-shard "
+                         "compute dominates gRPC sync (VERDICT r4 #7)")
     args = ap.parse_args()
+    if args.compute_bound and not args.worker:
+        args.m, args.n, args.t, args.steps = 64, 16384, 8, 4
 
     if args.worker:
         addr, pid, nproc = args.worker
@@ -170,6 +188,17 @@ def main():
     # all processes run the same global program; take the max elapsed
     t_multi = max(o["elapsed_s"] for o in multi)
     eff = base["elapsed_s"] / (args.procs * t_multi)
+    # On a rig whose processes share physical cores, adding processes adds
+    # NO compute: the best possible "efficiency" is cores-limited. Report
+    # the ceiling so the measured number is read against it — efficiency
+    # ≈ ceiling means the sharded step's collective structure adds ~no
+    # overhead beyond core contention (all this rig can certify).
+    cores = os.cpu_count() or 1
+    # baseline saturates min(cores, devices_per_proc) cores; the n-proc run
+    # gets at most `cores` for n× that demand
+    ceiling = min(
+        1.0, cores / (args.procs * min(cores, args.devices_per_proc))
+    )
     print(json.dumps({
         "metric": f"smc2_theta_sharded_scaling_{args.procs}proc",
         "global_m": args.m,
@@ -178,6 +207,9 @@ def main():
         "t_1proc_s": base["elapsed_s"],
         f"t_{args.procs}proc_s": t_multi,
         "efficiency": round(eff, 3),
+        "physical_cores": cores,
+        "core_ceiling": round(ceiling, 3),
+        "compute_bound": bool(args.compute_bound),
         "note": (
             "CPU virtual-device rig: characterizes harness sync behavior; "
             "run the same command per host on a real TPU slice for the "

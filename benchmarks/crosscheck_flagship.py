@@ -1,5 +1,6 @@
-"""Flagship statistical cross-check (VERDICT r3 #8): density-tempered SMC
-vs online SMC² on the SAME UC-SV data at the same (M, N).
+"""Flagship statistical cross-check (VERDICT r3 #8, calibrated r5):
+density-tempered SMC vs online SMC² on the SAME UC-SV data at the same
+(M, N).
 
 There is no exact oracle for UC-SV (nonlinear/heteroskedastic), so the
 flagship posterior is pinned the way the reference pins its own golden
@@ -7,14 +8,25 @@ runs (/root/reference/src/smc_samplers.jl:197-220): two INDEPENDENT
 samplers — the batch density-tempered algorithm (Duan–Fulop) and the
 online SMC² (Chopin) — must land on the same θ-posterior within
 Monte-Carlo error. Agreement is asserted per-dimension on the posterior
-mean, scaled by the pooled posterior std: |Δmean| ≤ tol·sd (the MC error
-of an M=512 mean is ~sd/√ESS ≪ sd, so tol=0.5 is loose but decisive —
-a wrong sampler misses by multiples of sd).
+mean, scaled by the pooled posterior std: |Δmean| ≤ tol·sd.
+
+The tolerance is CALIBRATED, not a-priori (VERDICT r4 #4): ``--calibrate
+K`` runs K seed-pairs at the current size, measures the empirical
+seed-to-seed spread σ_Δ of the between-sampler delta per dimension, and
+writes it to ``benchmarks/crosscheck_calibration.json``. The main check
+then asserts |Δ| ≤ 3·σ_Δ·√(M_cal/M) per dimension — the √M factor
+rescales the quick-size (M=64) calibration to the run's θ-count (both
+samplers' θ̂ MC error scales ~1/√ESS_θ and ESS_θ tracks M at matched
+config; the inner-N difference is not rescaled, which is conservative:
+larger N at flagship only shrinks the inner-filter noise). ``--tol`` still
+forces a flat tolerance; without it and without a calibration file the
+legacy 0.5·sd default applies.
 
 Runs on the vendored PCE series (the flagship example's data). Opt-in
 slow check — minutes at the flagship size on 1× v5e:
 
   python benchmarks/crosscheck_flagship.py [--m 512] [--n 8192] [--quick]
+  python benchmarks/crosscheck_flagship.py --quick --calibrate 8
 """
 from __future__ import annotations
 
@@ -41,6 +53,7 @@ import sequential_monte_carlo_tpu as smc
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 PCE = os.path.join(HERE, os.pardir, "examples", "data", "pce_inflation.csv")
+CALIBRATION = os.path.join(HERE, "crosscheck_calibration.json")
 
 
 def ucsv_prior():
@@ -62,21 +75,58 @@ def weighted_moments(theta, log_omega):
     return mean, np.sqrt(var)
 
 
+def run_pair(y, cfg, prior, key_online, key_batch):
+    """One (SMC², density-tempered) pair; returns moments + wall times."""
+    t0 = time.time()
+    smc2 = smc.SMC2(smc.ucsv_model, prior, cfg)
+    s_online, _ = smc2.run_segmented(key_online, y, segment_size=16)
+    jax.block_until_ready(s_online.log_omega)
+    t_online = time.time() - t0
+    m_on, sd_on = weighted_moments(s_online.theta, s_online.log_omega)
+
+    t0 = time.time()
+    s_batch, stages = smc.density_tempered(
+        smc.SMC2(smc.ucsv_model, prior, cfg), key_batch, y
+    )
+    jax.block_until_ready(s_batch.log_omega)
+    t_batch = time.time() - t0
+    m_bt, sd_bt = weighted_moments(s_batch.theta, s_batch.log_omega)
+    return m_on, sd_on, t_online, m_bt, sd_bt, t_batch
+
+
+def tolerance_sd(args):
+    """Per-dimension tolerance in pooled-sd units: calibrated 3·σ_Δ scaled
+    by √(M_cal/M) when a calibration file exists, else the flat legacy
+    default (or --tol override)."""
+    if args.tol is not None:
+        return np.full(4, args.tol), "flat (--tol)"
+    if os.path.exists(CALIBRATION):
+        with open(CALIBRATION) as f:
+            cal = json.load(f)
+        scale = float(np.sqrt(cal["m"] / args.m))
+        tol = 3.0 * np.asarray(cal["sigma_delta_sd"]) * scale
+        return tol, (
+            f"3·σ_Δ(seed, {cal['seeds']} pairs at M={cal['m']}) · "
+            f"√({cal['m']}/{args.m})"
+        )
+    return np.full(4, 0.5), "legacy default (no calibration file)"
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--m", type=int, default=512)
     p.add_argument("--n", type=int, default=8192)
     p.add_argument("--chain", type=int, default=5)
-    p.add_argument("--tol", type=float, default=0.5,
-                   help="|Δ posterior mean| per dim ≤ tol · pooled sd")
+    p.add_argument("--tol", type=float, default=None,
+                   help="flat override: |Δ posterior mean| ≤ tol · sd")
     p.add_argument("--quick", action="store_true",
                    help="small sizes for a CPU smoke run")
+    p.add_argument("--calibrate", type=int, default=0, metavar="K",
+                   help="run K seed-pairs, write the empirical σ_Δ "
+                        "calibration file, and exit (VERDICT r4 #4)")
     args = p.parse_args()
     if args.quick:
         args.m, args.n, args.chain = 64, 256, 2
-        # MC error of an M=64 posterior mean is ~sd/√ESS_θ ≈ 0.2–0.3 sd
-        # per sampler — the flagship tol would flag pure noise here
-        args.tol = max(args.tol, 1.25)
 
     import csv
 
@@ -92,31 +142,50 @@ def main():
     )
     prior = ucsv_prior()
 
-    t0 = time.time()
-    smc2 = smc.SMC2(smc.ucsv_model, prior, cfg)
-    s_online, _ = smc2.run_segmented(jax.random.key(1998), y, segment_size=16)
-    jax.block_until_ready(s_online.log_omega)
-    t_online = time.time() - t0
-    m_on, sd_on = weighted_moments(s_online.theta, s_online.log_omega)
+    if args.calibrate:
+        deltas, sds = [], []
+        t0 = time.time()
+        for s in range(args.calibrate):
+            m_on, sd_on, _, m_bt, sd_bt, _ = run_pair(
+                y, cfg, prior,
+                jax.random.key(1000 + s), jax.random.key(2000 + s),
+            )
+            sd_pool = np.sqrt(0.5 * (sd_on**2 + sd_bt**2))
+            deltas.append((m_on - m_bt) / sd_pool)
+            sds.append(sd_pool)
+            print(f"calibrate seed {s}: delta_in_sd="
+                  f"{[round(float(v), 3) for v in deltas[-1]]}",
+                  file=sys.stderr, flush=True)
+        sigma = np.std(np.asarray(deltas), axis=0, ddof=1)
+        out = {
+            "m": args.m, "n": args.n, "chain": args.chain,
+            "seeds": args.calibrate,
+            "sigma_delta_sd": [round(float(v), 4) for v in sigma],
+            "mean_delta_sd": [
+                round(float(v), 4) for v in np.asarray(deltas).mean(0)
+            ],
+            "wallclock_s": round(time.time() - t0, 1),
+        }
+        with open(CALIBRATION, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
 
-    t0 = time.time()
-    s_batch, stages = smc.density_tempered(
-        smc.SMC2(smc.ucsv_model, prior, cfg), jax.random.key(4242), y
+    m_on, sd_on, t_online, m_bt, sd_bt, t_batch = run_pair(
+        y, cfg, prior, jax.random.key(1998), jax.random.key(4242)
     )
-    jax.block_until_ready(s_batch.log_omega)
-    t_batch = time.time() - t0
-    m_bt, sd_bt = weighted_moments(s_batch.theta, s_batch.log_omega)
-
     sd_pool = np.sqrt(0.5 * (sd_on**2 + sd_bt**2))
     delta = np.abs(m_on - m_bt) / sd_pool
-    ok = bool((delta <= args.tol).all())
+    tol, tol_src = tolerance_sd(args)
+    ok = bool((delta <= tol).all())
     print(json.dumps({
         "metric": f"ucsv_flagship_crosscheck_{args.m}x{args.n}",
         "theta_smc2": [round(float(v), 4) for v in m_on],
         "theta_density_tempered": [round(float(v), 4) for v in m_bt],
         "posterior_sd": [round(float(v), 4) for v in sd_pool],
         "delta_in_sd": [round(float(v), 3) for v in delta],
-        "tol_sd": args.tol,
+        "tol_sd": [round(float(v), 3) for v in tol],
+        "tol_source": tol_src,
         "agree": ok,
         "t_smc2_s": round(t_online, 1),
         "t_density_tempered_s": round(t_batch, 1),

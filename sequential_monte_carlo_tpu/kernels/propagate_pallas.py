@@ -47,7 +47,8 @@ __all__ = ["fused_elementwise_step"]
 )
 def fused_elementwise_step(update_fn, seed, y, params, state_planes,
                            n_normals: int, tile_offset=0,
-                           normalize: bool = False, interpret: bool = False):
+                           normalize: bool = False, interpret: bool = False,
+                           carry_logw=None):
     """Run one fused propagate+reweight step for all (M, N) particles.
 
     Args:
@@ -61,18 +62,28 @@ def fused_elementwise_step(update_fn, seed, y, params, state_planes,
       normalize: also run the per-row log-sum-exp + ESS epilogue on the
         resident block (valid for the always-resample path — see
         ``ucsv_pallas.ucsv_propagate_reweight``).
+      carry_logw: optional (M, N) CARRIED log-weights added to the
+        increment before the normalize epilogue — the adaptive-resampling
+        route (ess_threshold < 1, VERDICT r4 #2), where the pre-propagate
+        weights are not the constant −log N. Requires ``normalize=True``;
+        the epilogue then normalizes lw + incr and its lse IS the step's
+        incremental evidence (no −log N shift — the carry is normalized).
 
     Returns:
       ``normalize=False``: (new_planes tuple of (M, N), logw (M, N)).
       ``normalize=True``: (new_planes, log_norm (M, N), lse (M, 1),
       ess (M, 1)).
     """
+    if carry_logw is not None and not normalize:
+        raise ValueError("carry_logw requires normalize=True")
     x0 = state_planes[0]
     M, N = x0.shape
     TILE_M = 8 if M % 8 == 0 else M
     grid = (M // TILE_M,)
     n_state = len(state_planes)
     n_par = len(params)
+    has_carry = carry_logw is not None
+    n_in = n_par + n_state + (1 if has_carry else 0)
 
     def row_spec():
         return pl.BlockSpec((TILE_M, N), lambda i: (i, 0),
@@ -85,9 +96,10 @@ def fused_elementwise_step(update_fn, seed, y, params, state_planes,
     def kernel(seed_ref, y_ref, *refs):
         par_refs = refs[:n_par]
         st_refs = refs[n_par : n_par + n_state]
-        out_refs = refs[n_par + n_state : n_par + 2 * n_state]
-        logw_ref = refs[n_par + 2 * n_state]
-        norm_refs = refs[n_par + 2 * n_state + 1 :]
+        carry_ref = refs[n_par + n_state] if has_carry else None
+        out_refs = refs[n_in : n_in + n_state]
+        logw_ref = refs[n_in + n_state]
+        norm_refs = refs[n_in + n_state + 1 :]
 
         pltpu.prng_seed(seed_ref[0], seed_ref[1] + pl.program_id(0))
         shape = st_refs[0].shape
@@ -104,6 +116,8 @@ def fused_elementwise_step(update_fn, seed, y, params, state_planes,
         if not norm_refs:
             logw_ref[:] = logw
             return
+        if has_carry:
+            logw = logw + carry_ref[:]
         lseo, esso = norm_refs
         mx = jnp.max(logw, axis=-1, keepdims=True)
         e = jnp.exp(logw - mx)
@@ -119,13 +133,18 @@ def fused_elementwise_step(update_fn, seed, y, params, state_planes,
         out_shape += [jax.ShapeDtypeStruct((M, 1), x0.dtype)] * 2
         out_specs += [col_spec()] * 2
 
+    operands = (
+        [jnp.reshape(p, (M, 1)).astype(x0.dtype) for p in params]
+        + list(state_planes)
+        + ([carry_logw] if has_carry else [])
+    )
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2  # seeds, y
             + [col_spec()] * n_par
-            + [row_spec()] * n_state
+            + [row_spec()] * (n_state + (1 if has_carry else 0))
         ),
         out_specs=out_specs,
         out_shape=out_shape,
@@ -135,8 +154,7 @@ def fused_elementwise_step(update_fn, seed, y, params, state_planes,
             jnp.asarray(seed, jnp.int32), jnp.asarray(tile_offset, jnp.int32)
         ]),
         jnp.asarray([y], dtype=x0.dtype),
-        *[jnp.reshape(p, (M, 1)).astype(x0.dtype) for p in params],
-        *state_planes,
+        *operands,
     )
     new_planes = tuple(outs[:n_state])
     if normalize:

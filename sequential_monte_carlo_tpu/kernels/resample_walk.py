@@ -190,11 +190,11 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("tm", "ot", "cw", "interpret",
-                                             "xor_mask"))
+                                             "xor_mask", "n_sub"))
 def resample_gather_walk(u, weights, xs, tm: int | None = None,
                          ot: int = 128, cw: int = 128,
                          interpret: bool = False, u0=None,
-                         xor_mask: bool = False):
+                         xor_mask: bool = False, n_sub: int = 1):
     """Fused sorted-uniform resample + ancestor gather, chunk-walk kernel.
 
     Args:
@@ -208,6 +208,10 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                write offset stride, so must be a 128-multiple).
       cw:      CDF chunk width (128-multiple — chunk slices must sit at
                128-multiple lane offsets).
+      n_sub:   subgroups per TM-row group walking their OWN chunk bounds
+               (must divide tm). 1 = production (group-union bounds);
+               >1 is the measured-slower round-4 ablation, kept reachable
+               for tests.
       u0:      (M, 1) systematic offsets. When given, the grid
                u_i = (i + u0)/N is built host-side DIRECTLY in the
                kernel's transposed (M, OT, n_tiles) layout — bitwise-equal
@@ -268,15 +272,17 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     )
     k_start = jnp.minimum(k_start, n_chunks - 1)
     k_last = jnp.minimum(k_last, n_chunks - 1)
-    # group-shared bounds: min start / max end over the TM rows.
-    # Per-8-row-subgroup bounds (n_sub = tm // 8) were built and measured
-    # in round 4 — bitwise-equal, and SLOWER in real runs (flagship bench
-    # 12.1 → 13.5 s; per-call parity at mild skew): when row spans
-    # coincide the per-(tile, subgroup) fixed costs (fori_loop setup,
-    # 2× output writes, matmul issue latency) double while the mask
-    # volume stays equal, eating the narrower-span win. The machinery is
-    # kept (n_sub > 1 still works) as the recorded ablation.
-    n_sub = 1
+    # group-shared bounds: min start / max end over the TM rows (n_sub=1,
+    # the production default). Per-8-row-subgroup bounds (n_sub = tm // 8)
+    # were built and measured in round 4 — bitwise-equal, and SLOWER in
+    # real runs (flagship bench 12.1 → 13.5 s; per-call parity at mild
+    # skew): when row spans coincide the per-(tile, subgroup) fixed costs
+    # (fori_loop setup, 2× output writes, matmul issue latency) double
+    # while the mask volume stays equal, eating the narrower-span win.
+    # The ablation stays reachable through the ``n_sub`` argument
+    # (test-only; must divide tm) — ADVICE r4.
+    if tm % n_sub:
+        raise ValueError(f"n_sub {n_sub} must divide tm {tm}")
     sb = tm // n_sub
     gks = k_start.reshape(n_groups * n_sub, sb, n_tiles).min(axis=1)
     gke = (k_last.reshape(n_groups * n_sub, sb, n_tiles).max(axis=1) + 1)

@@ -94,22 +94,33 @@ class LinearGaussianModel:
         return Normal(loc, jnp.sqrt(self.R))
 
     # -- fused fast path (kernels/propagate_pallas.py) -----------------------
+    def fused_prep(self):
+        """Step-invariant prep for the fused kernel: any F with F·Fᵀ = Q.
+
+        The eigh factor handles singular Q (Hodrick–Prescott) — same
+        family as the MvNormal sampler's. Q is constant over a filter's
+        time scan, so callers (ops/batched_filter.py) compute this ONCE
+        before the scan and pass it back through ``prep=`` rather than
+        paying a batched eigh per step inside the scan body (ADVICE r4).
+        """
+        dx = self.state_dim
+        if dx == 1:
+            return jnp.sqrt(self.Q)
+        s, V = jnp.linalg.eigh(self.Q)
+        return V * jnp.sqrt(jnp.clip(s, 0.0))[..., None, :]
+
     def fused_propagate_reweight(self, seed, y, particles, tile_offset=0,
                                  interpret: bool = False,
-                                 normalize: bool = False):
+                                 normalize: bool = False, prep=None,
+                                 carry_logw=None):
         from ..kernels.propagate_pallas import fused_elementwise_step
 
         dx = self.state_dim
         m = particles.shape[0]
         A = jnp.broadcast_to(self.A, (m, dx, dx))
-        Q = jnp.broadcast_to(self.Q, (m, dx, dx))
-        if dx == 1:
-            F = jnp.sqrt(Q)
-        else:
-            # eigh factor handles singular Q (Hodrick–Prescott) —
-            # F·Fᵀ = Q exactly, same family as the MvNormal sampler's
-            s, V = jnp.linalg.eigh(Q)
-            F = V * jnp.sqrt(jnp.clip(s, 0.0))[..., None, :]
+        F = jnp.broadcast_to(
+            prep if prep is not None else self.fused_prep(), (m, dx, dx)
+        )
         B = jnp.broadcast_to(self.B, (m, dx))
         R = jnp.broadcast_to(self.R, (m,))
         params = (
@@ -122,6 +133,7 @@ class LinearGaussianModel:
         out = fused_elementwise_step(
             _lg_update(dx), seed, y, params, planes, n_normals=dx,
             tile_offset=tile_offset, normalize=normalize, interpret=interpret,
+            carry_logw=carry_logw,
         )
         if normalize:
             new_planes, log_norm, row_lse, ess = out

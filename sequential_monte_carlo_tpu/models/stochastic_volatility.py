@@ -65,7 +65,7 @@ class StochasticVolatilityModel:
     # whole (M, N, 1) cloud.
     def fused_propagate_reweight(self, seed, y, particles, tile_offset=0,
                                  interpret: bool = False,
-                                 normalize: bool = False):
+                                 normalize: bool = False, carry_logw=None):
         from ..kernels.propagate_pallas import fused_elementwise_step
 
         x = particles[..., 0]
@@ -76,6 +76,7 @@ class StochasticVolatilityModel:
         out = fused_elementwise_step(
             _sv_update, seed, y, params, (x,), n_normals=1,
             tile_offset=tile_offset, normalize=normalize, interpret=interpret,
+            carry_logw=carry_logw,
         )
         if normalize:
             planes, log_norm, row_lse, ess = out

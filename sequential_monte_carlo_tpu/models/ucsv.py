@@ -87,7 +87,7 @@ class UCSVModel:
     # VMEM-resident Pallas pass with on-chip PRNG.
     def fused_propagate_reweight(self, seed, y, particles, tile_offset=0,
                                  interpret: bool = False,
-                                 normalize: bool = False):
+                                 normalize: bool = False, carry_logw=None):
         # Routed through the generic builder since round 4: bitwise-equal
         # to the bespoke ``ucsv_pallas`` kernel ON HARDWARE at the same
         # seed (same Box–Muller draw order) and measured faster — 0.919 vs
@@ -105,6 +105,7 @@ class UCSVModel:
         out = fused_elementwise_step(
             _ucsv_update, seed, y, (ge, gn), (x, lse, lsn), n_normals=3,
             tile_offset=tile_offset, normalize=normalize, interpret=interpret,
+            carry_logw=carry_logw,
         )
         if normalize:
             planes, log_norm, row_lse, ess = out

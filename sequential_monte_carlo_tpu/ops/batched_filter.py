@@ -100,28 +100,44 @@ def _row_normalize(logw, log_n=None):
     return log_norm, log_mean, ess
 
 
-def batched_pf_init(key, models, n, m, y0, active_n=None):
+def batched_pf_init(key, models, n, m, y0, active_n=None,
+                    config: PFConfig = PFConfig()):
     """vmapped pf_init over the stacked model pytree.
 
     ``active_n`` (traced int32 scalar): live-particle count for the
     padded-N in-graph-exchange formulation — slots ≥ active_n carry
     log-weight −inf and the evidence normalizes by active_n, not n
     (the static-shape form of the reference's N-doubling,
-    smc_samplers.jl:163-189)."""
+    smc_samplers.jl:163-189).
+
+    ``config.proposal``: guided init — draws from ``proposal.initial`` with
+    the importance correction (≡ pf_init's guided branch, VERDICT r4 #6)."""
+    proposal = config.proposal
     keys = jax.random.split(key, m)
     if active_n is None:
-        outs = jax.vmap(lambda k, mod: pf_init(k, mod, n, y0))(keys, models)
+        outs = jax.vmap(lambda k, mod: pf_init(k, mod, n, y0, proposal))(
+            keys, models
+        )
         return BatchedPFOut(
             outs.state.particles, outs.state.log_weights, outs.log_mean, outs.ess
         )
-    x = jax.vmap(
-        lambda k, mod: mod.initial_distribution().sample(
-            jax.random.split(k)[0], (n,)
-        )
-    )(keys, models)
-    logw = jax.vmap(
-        lambda mod, xx: mod.observation_distribution(xx).log_prob(y0)
-    )(models, x)
+
+    def draw_one(k, mod):
+        kd = jax.random.split(k)[0]
+        if proposal is None:
+            x = mod.initial_distribution().sample(kd, (n,))
+            lw = mod.observation_distribution(x).log_prob(y0)
+        else:
+            q0 = proposal.initial(mod)
+            x = q0.sample(kd, (n,))
+            lw = (
+                mod.observation_distribution(x).log_prob(y0)
+                + mod.initial_distribution().log_prob(x)
+                - q0.log_prob(x)
+            )
+        return x, lw
+
+    x, logw = jax.vmap(draw_one)(keys, models)
     live = jnp.arange(n) < active_n
     logw = jnp.where(live[None, :], logw, -jnp.inf)
     log_n = jnp.log(active_n.astype(logw.dtype))
@@ -142,94 +158,103 @@ def _elastic_sorted_u(k_res, config, m, n, active_n, dtype):
     return jnp.minimum((i + off) / a_f, jnp.asarray(1.0 - 1e-7, dtype))
 
 
+def _resample_gather(k_res, config, particles, w, active_n):
+    """The resample+gather stage of :func:`batched_pf_step`: draw the
+    scheme's uniforms and gather every row's ancestors (fused Pallas
+    kernel / XLA fallback). Factored out so the adaptive-resampling path
+    can put the WHOLE stage under a ``lax.cond`` (VERDICT r4 #2)."""
+    m, n, dx = particles.shape
+    if _use_fused(config):
+        u0 = None
+        if active_n is None:
+            if config.resampling in ("systematic", "residual_systematic"):
+                # systematic: hand the kernel only the (M, 1) offsets —
+                # the grid (i + u0)/N is generated in-kernel, bitwise
+                # equal to systematic_uniforms (PERF_NOTES.md round 3)
+                u0 = jax.random.uniform(k_res, (m, 1), dtype=w.dtype)
+                u = None
+            else:
+                u = stratified_uniforms(k_res, m, n, dtype=w.dtype)
+        else:
+            u = _elastic_sorted_u(k_res, config, m, n, active_n, w.dtype)
+        # monotone chunk-walk kernel: exact at any weight distribution,
+        # fastest at every size (1.4 vs 1.9 ms at N=1024, 9 vs 34 ms at
+        # N=8192 against the dense byte-plane kernel); falls back to
+        # the dense kernel itself for non-divisible shapes
+        from ..kernels.resample_walk import resample_gather_walk
+
+        if u0 is not None:
+            gather_fn = lambda u_, w_, xs_: resample_gather_walk(  # noqa: E731
+                None, w_, xs_, u0=u_
+            )
+            u_arg = u0
+        else:
+            gather_fn = resample_gather_walk
+            u_arg = u
+        mesh, theta_sharded, _ = _mesh_info(config)
+        xs_t = particles.transpose(0, 2, 1)
+        if theta_sharded:
+            # per-shard kernel inside shard_map: the uniforms are drawn
+            # globally above, so the sharded gather is bitwise-equal to
+            # the unsharded one (the kernel is deterministic in (u, w, x))
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import THETA_AXIS
+
+            with _interpret_ctx():
+                return jax.shard_map(
+                    gather_fn,
+                    mesh=mesh,
+                    in_specs=(
+                        P(THETA_AXIS, None),
+                        P(THETA_AXIS, None),
+                        P(THETA_AXIS, None, None),
+                    ),
+                    out_specs=P(THETA_AXIS, None, None),
+                    check_vma=False,  # pallas_call can't annotate vma
+                )(u_arg, w, xs_t).transpose(0, 2, 1)
+        with _interpret_ctx():
+            return gather_fn(u_arg, w, xs_t).transpose(0, 2, 1)
+    if active_n is None:
+        keys = jax.random.split(k_res, m)
+        anc = jax.vmap(
+            lambda k, ww: get_resampler(config.resampling)(k, ww)
+        )(keys, w)
+        return jax.vmap(lambda x, a: jnp.take(x, a, axis=0))(particles, anc)
+    # elastic XLA path: uniforms over the live prefix + inverse CDF
+    # (the masked tail has zero mass, so only live slots are drawn)
+    if config.resampling == "multinomial":
+        u = jax.random.uniform(k_res, (m, n), dtype=w.dtype)
+    else:
+        u = _elastic_sorted_u(k_res, config, m, n, active_n, w.dtype)
+    cdf = jnp.cumsum(w, axis=-1)
+    cdf = cdf / cdf[..., -1:]
+    anc = jax.vmap(
+        lambda c, uu: jnp.clip(
+            jnp.searchsorted(c, uu, side="left"), 0, n - 1
+        )
+    )(cdf, u)
+    return jax.vmap(lambda x, a: jnp.take(x, a, axis=0))(particles, anc)
+
+
 def batched_pf_step(key, models, particles, log_w, y,
-                    config: PFConfig = PFConfig(), active_n=None):
+                    config: PFConfig = PFConfig(), active_n=None,
+                    fused_prep=None):
     """One filter step for all M clouds ≡ M× particles.jl:107-129 fused.
 
-    ``active_n``: see :func:`batched_pf_init` — padded-N elastic mode."""
+    ``active_n``: see :func:`batched_pf_init` — padded-N elastic mode.
+    ``fused_prep``: step-invariant fused-kernel prep (``models.fused_prep()``)
+    computed once by scanning callers so per-step recomputation (e.g. the
+    LG family's batched eigh) stays out of the scan body (ADVICE r4).
+    ``config.proposal``: guided propagate+reweight (VERDICT r4 #6) — the
+    fused propagate kernel is bypassed; the fused resample kernel still
+    runs (it is proposal-independent)."""
     m, n, dx = particles.shape
+    proposal = config.proposal
     k_res, k_prop = jax.random.split(key)
     w = jnp.exp(log_w)
 
     with jax.named_scope("pf_resample"):
-        if _use_fused(config):
-            u0 = None
-            if active_n is None:
-                if config.resampling in ("systematic", "residual_systematic"):
-                    # systematic: hand the kernel only the (M, 1) offsets —
-                    # the grid (i + u0)/N is generated in-kernel, bitwise
-                    # equal to systematic_uniforms (PERF_NOTES.md round 3)
-                    u0 = jax.random.uniform(k_res, (m, 1), dtype=w.dtype)
-                    u = None
-                else:
-                    u = stratified_uniforms(k_res, m, n, dtype=w.dtype)
-            else:
-                u = _elastic_sorted_u(k_res, config, m, n, active_n, w.dtype)
-            # monotone chunk-walk kernel: exact at any weight distribution,
-            # fastest at every size (1.4 vs 1.9 ms at N=1024, 9 vs 34 ms at
-            # N=8192 against the dense byte-plane kernel); falls back to
-            # the dense kernel itself for non-divisible shapes
-            from ..kernels.resample_walk import resample_gather_walk
-
-            if u0 is not None:
-                gather_fn = lambda u_, w_, xs_: resample_gather_walk(  # noqa: E731
-                    None, w_, xs_, u0=u_
-                )
-                u_arg = u0
-            else:
-                gather_fn = resample_gather_walk
-                u_arg = u
-            mesh, theta_sharded, _ = _mesh_info(config)
-            xs_t = particles.transpose(0, 2, 1)
-            if theta_sharded:
-                # per-shard kernel inside shard_map: the uniforms are drawn
-                # globally above, so the sharded gather is bitwise-equal to
-                # the unsharded one (the kernel is deterministic in (u, w, x))
-                from jax.sharding import PartitionSpec as P
-
-                from ..parallel.mesh import THETA_AXIS
-
-                with _interpret_ctx():
-                    gathered = jax.shard_map(
-                        gather_fn,
-                        mesh=mesh,
-                        in_specs=(
-                            P(THETA_AXIS, None),
-                            P(THETA_AXIS, None),
-                            P(THETA_AXIS, None, None),
-                        ),
-                        out_specs=P(THETA_AXIS, None, None),
-                        check_vma=False,  # pallas_call can't annotate vma
-                    )(u_arg, w, xs_t).transpose(0, 2, 1)
-            else:
-                with _interpret_ctx():
-                    gathered = gather_fn(u_arg, w, xs_t).transpose(0, 2, 1)
-        elif active_n is None:
-            keys = jax.random.split(k_res, m)
-            anc = jax.vmap(
-                lambda k, ww: get_resampler(config.resampling)(k, ww)
-            )(keys, w)
-            gathered = jax.vmap(lambda x, a: jnp.take(x, a, axis=0))(
-                particles, anc
-            )
-        else:
-            # elastic XLA path: uniforms over the live prefix + inverse CDF
-            # (the masked tail has zero mass, so only live slots are drawn)
-            if config.resampling == "multinomial":
-                u = jax.random.uniform(k_res, (m, n), dtype=w.dtype)
-            else:
-                u = _elastic_sorted_u(k_res, config, m, n, active_n, w.dtype)
-            cdf = jnp.cumsum(w, axis=-1)
-            cdf = cdf / cdf[..., -1:]
-            anc = jax.vmap(
-                lambda c, uu: jnp.clip(
-                    jnp.searchsorted(c, uu, side="left"), 0, n - 1
-                )
-            )(cdf, u)
-            gathered = jax.vmap(lambda x, a: jnp.take(x, a, axis=0))(
-                particles, anc
-            )
-
         if active_n is None:
             log_n = jnp.log(jnp.asarray(float(n), dtype=log_w.dtype))
             reset_lw = jnp.full_like(log_w, -log_n)
@@ -239,27 +264,54 @@ def batched_pf_step(key, models, particles, log_w, y,
             live = (jnp.arange(n) < active_n)[None, :]
             reset_lw = jnp.where(live, -log_n, -jnp.inf)
             n_live = active_n
-        if config.ess_threshold >= 1.0:
-            xp = gathered
+        adaptive = config.ess_threshold < 1.0
+        if not adaptive:
+            xp = _resample_gather(k_res, config, particles, w, active_n)
             lw = reset_lw
         else:
+            # ESS-triggered resampling (reference resamples unconditionally,
+            # particles.jl:17-19,117 — DEVIATIONS.md §3). The whole
+            # resample+gather stage sits under ONE lax.cond on "any row
+            # fires": steps where no trigger fires skip the uniforms, the
+            # gather kernel, and the selects entirely (VERDICT r4 #2 — the
+            # old select formulation burned the full 6.2 ms walk kernel at
+            # flagship size and then discarded it). Rows that didn't fire
+            # keep their particles/weights via the per-row select inside
+            # the live branch, so results are bitwise-identical to the
+            # select formulation at every step.
             ess_prev = 1.0 / jnp.sum(w * w, axis=-1)
             do = (ess_prev < config.ess_threshold * n_live)[:, None]
-            xp = jnp.where(do[..., None], gathered, particles)
-            lw = jnp.where(do, reset_lw, log_w)
 
-    fused_model = _use_fused(config) and hasattr(models, "fused_propagate_reweight")
+            def fire(_):
+                gathered = _resample_gather(
+                    k_res, config, particles, w, active_n
+                )
+                return (
+                    jnp.where(do[..., None], gathered, particles),
+                    jnp.where(do, reset_lw, log_w),
+                )
+
+            xp, lw = jax.lax.cond(
+                jnp.any(do), fire, lambda _: (particles, log_w), None
+            )
+
+    fused_model = (
+        _use_fused(config)
+        and hasattr(models, "fused_propagate_reweight")
+        and proposal is None
+    )
     # normalize-epilogue route: the kernel also runs the per-row
     # log-sum-exp + ESS on its resident block, skipping the separate XLA
-    # normalize sweeps below. Only valid when the pre-propagate weights are
-    # the constant −log N (always-resample, no elastic live-mask) — then
-    # the normalized weights depend on the increments alone.
-    fused_norm = (
-        fused_model and active_n is None and config.ess_threshold >= 1.0
-    )
+    # normalize sweeps below. Valid without an elastic live-mask; in
+    # adaptive mode the carried (non-constant) pre-propagate weights ride
+    # into the kernel as a ``carry_logw`` plane and the epilogue
+    # normalizes lw + incr directly (VERDICT r4 #2).
+    fused_norm = fused_model and active_n is None
+    fused_carry = fused_norm and config.ess_threshold < 1.0
     if fused_model:
         with jax.named_scope("pf_propagate_reweight_fused"):
             seed = jax.random.randint(k_prop, (), 0, jnp.iinfo(jnp.int32).max)
+            carry = lw if fused_carry else None
             mesh, theta_sharded, _ = _mesh_info(config)
             if theta_sharded:
                 from jax.sharding import PartitionSpec as P
@@ -270,54 +322,87 @@ def batched_pf_step(key, models, particles, log_w, y,
                 m_local = m // n_shards
                 tiles = type(models).fused_tiles(m_local)
 
-                def local_prop(models_l, xp_l, seed_, y_):
+                def local_prop(models_l, xp_l, seed_, y_, *rest):
                     # offset the kernel PRNG by the shard's global first-tile
                     # index: streams stay distinct across shards and match
                     # the unsharded run tile-for-tile when m_local % 8 == 0
                     off = jax.lax.axis_index(THETA_AXIS) * tiles
+                    kw = {}
+                    if fused_carry:
+                        kw["carry_logw"] = rest[0]
+                        rest = rest[1:]
+                    if fused_prep is not None:
+                        kw["prep"] = rest[0]
                     return models_l.fused_propagate_reweight(
                         seed_, y_, xp_l, tile_offset=off,
-                        normalize=fused_norm,
+                        normalize=fused_norm, **kw,
                     )
 
+                in_specs = [P(THETA_AXIS), P(THETA_AXIS, None, None), P(), P()]
+                operands = [models, xp, seed, jnp.asarray(y)]
+                if fused_carry:
+                    in_specs.append(P(THETA_AXIS, None))
+                    operands.append(carry)
+                if fused_prep is not None:
+                    in_specs.append(P(THETA_AXIS))
+                    operands.append(fused_prep)
                 norm_specs = (P(THETA_AXIS, None), P(THETA_AXIS), P(THETA_AXIS))
                 with _interpret_ctx():
                     outs = jax.shard_map(
                         local_prop,
                         mesh=mesh,
-                        in_specs=(
-                            P(THETA_AXIS),
-                            P(THETA_AXIS, None, None),
-                            P(),
-                            P(),
-                        ),
+                        in_specs=tuple(in_specs),
                         out_specs=(
                             (P(THETA_AXIS, None, None),) + norm_specs
                             if fused_norm
                             else (P(THETA_AXIS, None, None), P(THETA_AXIS, None))
                         ),
                         check_vma=False,  # pallas_call can't annotate vma
-                    )(models, xp, seed, jnp.asarray(y))
+                    )(*operands)
             else:
+                kw = {}
+                if fused_carry:
+                    kw["carry_logw"] = carry
+                if fused_prep is not None:
+                    kw["prep"] = fused_prep
                 with _interpret_ctx():
                     outs = models.fused_propagate_reweight(
-                        seed, y, xp, normalize=fused_norm
+                        seed, y, xp, normalize=fused_norm, **kw
                     )
             if fused_norm:
                 x_new, log_norm, row_lse, ess = outs
+                if fused_carry:
+                    # the carry is normalized (logsumexp(lw) == 0), so the
+                    # epilogue's lse of lw + incr IS the evidence increment
+                    return BatchedPFOut(x_new, log_norm, row_lse, ess)
                 log_n = jnp.log(jnp.asarray(float(n), dtype=log_w.dtype))
                 return BatchedPFOut(x_new, log_norm, row_lse - log_n, ess)
             x_new, incr = outs
     else:
         with jax.named_scope("pf_propagate"):
             keys_p = jax.random.split(k_prop, m)
-            x_new = jax.vmap(
-                lambda k, mod, x: mod.transition_distribution(x).sample(k)
-            )(keys_p, models, xp)
-        with jax.named_scope("pf_reweight"):
-            incr = jax.vmap(
-                lambda mod, x: mod.observation_distribution(x).log_prob(y)
-            )(models, x_new)
+            if proposal is None:
+                x_new = jax.vmap(
+                    lambda k, mod, x: mod.transition_distribution(x).sample(k)
+                )(keys_p, models, xp)
+                with jax.named_scope("pf_reweight"):
+                    incr = jax.vmap(
+                        lambda mod, x: mod.observation_distribution(x).log_prob(y)
+                    )(models, x_new)
+            else:
+                # guided: q(x_t | x_{t-1}) with the transition−proposal
+                # importance correction ≡ particles.jl:55-84, batched
+                def prop_one(k, mod, xp_):
+                    q = proposal.step(mod, xp_)
+                    xn = q.sample(k)
+                    inc = (
+                        mod.observation_distribution(xn).log_prob(y)
+                        + mod.transition_distribution(xp_).log_prob(xn)
+                        - q.log_prob(xn)
+                    )
+                    return xn, inc
+
+                x_new, incr = jax.vmap(prop_one)(keys_p, models, xp)
 
     with jax.named_scope("pf_normalize"):
         if active_n is not None:
@@ -334,7 +419,19 @@ def batched_log_likelihood_masked(key, models, n, m, y, mask,
     """Masked-prefix logZ for all M θ at once — the rejuvenation inner loop
     (≡ M× particles.jl:132-147 over y[1:t])."""
     k0, k_scan = jax.random.split(key)
-    init = batched_pf_init(k0, models, n, m, y[0], active_n)
+    init = batched_pf_init(k0, models, n, m, y[0], active_n, config)
+
+    # Step-invariant fused-kernel prep (e.g. the LG family's batched eigh
+    # factor of Q) computed ONCE here, outside the scan, instead of per
+    # step inside the scan body (ADVICE r4).
+    prep = None
+    if (
+        _use_fused(config)
+        and config.proposal is None
+        and hasattr(models, "fused_propagate_reweight")
+        and hasattr(models, "fused_prep")
+    ):
+        prep = models.fused_prep()
 
     # The mask is shared across the whole batch, so the skip is a lax.cond
     # at the top of the scan body: masked-off steps execute NOTHING (unlike
@@ -347,7 +444,7 @@ def batched_log_likelihood_masked(key, models, n, m, y, mask,
         def live(c):
             particles, log_w, acc = c
             out = batched_pf_step(
-                k, models, particles, log_w, yt, config, active_n
+                k, models, particles, log_w, yt, config, active_n, prep
             )
             return (out.particles, out.log_weights, acc + out.log_mean)
 

@@ -69,6 +69,15 @@ class PFConfig(NamedTuple):
     # sharded particle dimension) and the XLA path — which GSPMD partitions
     # correctly — is used instead.
     mesh: object = None
+    # guided-PF proposal (a ``Proposal``; None = bootstrap). Carried on the
+    # config so the batched L2.5 layer and the L3 samplers (SMC² /
+    # density-tempered inner filters, VERDICT r4 #6) thread it without new
+    # plumbing: SMCConfig(inner=PFConfig(..., proposal=p)). The per-filter
+    # L2 API (``pf_step(..., proposal=)``) still takes it explicitly and
+    # falls back to this field. Proposals disable the fused propagate
+    # kernel (arbitrary user callables can't be traced into it); the fused
+    # resample kernel — which is proposal-independent — still applies.
+    proposal: object = None
 
 
 class Proposal(NamedTuple):
@@ -119,6 +128,8 @@ def pf_step(
 ) -> PFStepOut:
     """One filter step ≡ bootstrap_filter! / particle_filter!
     (particles.jl:107-129, 55-84): (maybe-)resample → propagate → reweight."""
+    if proposal is None:
+        proposal = config.proposal
     n = state.particles.shape[0]
     k_res, k_prop = jax.random.split(key)
 
@@ -174,6 +185,8 @@ def log_likelihood(
 
     Returns (final ParticleState, logZ). One ``lax.scan`` over T.
     """
+    if proposal is None:
+        proposal = config.proposal
     k0, k_scan = jax.random.split(key)
     init = pf_init(k0, model, n, y[0], proposal)
 
@@ -204,6 +217,8 @@ def log_likelihood_masked(
     the in-graph form of the reference's ``y[1:(t-1)]`` slicing
     (smc_samplers.jl:317,223).
     """
+    if proposal is None:
+        proposal = config.proposal
     k0, k_scan = jax.random.split(key)
     init = pf_init(k0, model, n, y[0], proposal)
 
@@ -305,6 +320,8 @@ def filter_sequence(
     with the telemetry returned as arrays instead of @printf lines,
     SURVEY.md §5.1). Returns (final_state, logZ, per-step dict).
     """
+    if proposal is None:
+        proposal = config.proposal
     k0, k_scan = jax.random.split(key)
     init = pf_init(k0, model, n, y[0], proposal)
 

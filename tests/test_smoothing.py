@@ -262,3 +262,31 @@ def test_ffbs_smoothed_beats_filtered_early(lg):
         np.abs(smth[early] - exact[early]).mean()
         < np.abs(filt[early] - exact[early]).mean()
     )
+
+
+def test_ffbs_blocked_neginf_block_matches_dense(lg):
+    """A row block whose filtered log-weights are ALL -inf must not
+    NaN-poison the blocked streaming log-sum-exp (ADVICE r4): the blocked
+    backward update stays equal to the dense one."""
+    from sequential_monte_carlo_tpu.ops.smoothing import (
+        _backward_reweight_blocked,
+        _backward_reweight_dense,
+    )
+
+    model, _ = lg
+    n, nb = 32, 8
+    x_t = jax.random.normal(jax.random.key(0), (n, 1))
+    x_next = jax.random.normal(jax.random.key(1), (n, 1))
+    lw_t = jax.nn.log_softmax(jax.random.normal(jax.random.key(2), (n,)))
+    # kill the FIRST block entirely: the streaming denominator's running
+    # max starts at -inf and stays -inf through block 0
+    lw_t = lw_t.at[:nb].set(-jnp.inf)
+    lw_s_next = jax.nn.log_softmax(jax.random.normal(jax.random.key(3), (n,)))
+    dense = _backward_reweight_dense(model, x_t, lw_t, x_next, lw_s_next)
+    blocked = _backward_reweight_blocked(
+        model, x_t, lw_t, x_next, lw_s_next, nb
+    )
+    assert np.isfinite(np.asarray(blocked)[nb:]).all()
+    np.testing.assert_allclose(
+        np.asarray(blocked), np.asarray(dense), rtol=1e-5, atol=1e-6
+    )
