@@ -67,18 +67,20 @@ def _kernel(ks_ref, ke_ref, slo_ref, shi_ref, xs_ref, out_ref, *, cw: int,
     n_tiles = out_ref.shape[2] // ot
     g = pl.program_id(0)
 
-    # constant output iota, built ONCE per group: lane index within a tile
-    o_iota = jax.lax.broadcasted_iota(jnp.float32, (1, ot, 1), 1)
+    # constant output iota, built ONCE per group: lane index within a tile.
+    # MUST be integer — Mosaic's tpu.iota rejects float element types (the
+    # round-3 float-iota lesson, re-learned here on first hardware compile)
+    o_iota = jax.lax.broadcasted_iota(jnp.int32, (1, ot, 1), 1)
 
     def tile_body(t, _):
-        base = (t * ot).astype(jnp.float32)
+        base = t * ot
         ks = ks_ref[g * n_tiles + t]
         ke = ke_ref[g * n_tiles + t]
 
         def chunk_body(k, acc):
             # shift the span chunk by the tile's base instead of building a
             # per-tile global iota: two (TM, 1, CW) subtracts ≪ mask volume
-            lo = slo_ref[:, :, pl.ds(k * cw, cw)] - base  # (TM, 1, CW)
+            lo = slo_ref[:, :, pl.ds(k * cw, cw)] - base  # (TM, 1, CW) int32
             hi = shi_ref[:, :, pl.ds(k * cw, cw)] - base
             band = ((o_iota >= lo) & (o_iota < hi)).astype(jnp.int8)
             return acc + jax.lax.dot_general(
@@ -172,8 +174,8 @@ def resample_gather_count_walk(u0, weights, xs, tm: int = 16, ot: int = 128,
     )(
         gks.reshape(-1),
         gke.reshape(-1),
-        s_lo[:, None, :],
-        s_hi[:, None, :],
+        s_lo[:, None, :].astype(jnp.int32),
+        s_hi[:, None, :].astype(jnp.int32),
         xb,
     )
     return out if c_pad == c else out[:, :c, :]

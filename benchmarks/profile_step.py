@@ -40,6 +40,10 @@ def main():
     p.add_argument("--n", type=int, default=8192)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--top", type=int, default=16)
+    p.add_argument("--ess-threshold", type=float, default=1.0,
+                   help="<1 profiles the ADAPTIVE route (VERDICT r4 #2): "
+                        "steps where no row's ESS trigger fires take the "
+                        "lax.cond skip branch and drop the walk kernel")
     args = p.parse_args()
     m, n, iters = args.m, args.n, args.iters
 
@@ -49,7 +53,7 @@ def main():
 
     theta = jnp.tile(jnp.asarray([[0.5, 3.0, 0.2, 0.2]]), (m, 1))
     models = jax.vmap(ucsv_model)(theta)
-    cfg = PFConfig("systematic", 1.0)
+    cfg = PFConfig("systematic", args.ess_threshold)
     xp = jax.random.normal(jax.random.key(6), (m, n, 3), jnp.float32)
     lw = jnp.full((m, n), -jnp.log(float(n)))
 

@@ -111,6 +111,31 @@ def validate(m, n):
         and bool(jnp.allclose(row_lse, lse_ref, rtol=1e-5, atol=1e-5))
     )
 
+    # 4b. the ADAPTIVE carry epilogue (round 5, VERDICT r4 #2): feeding
+    # carried log-weights into the builder kernel normalizes lw + incr —
+    # ≡ the no-carry call at the same seed + XLA normalize, ON HARDWARE.
+    import sequential_monte_carlo_tpu as smc_pkg
+
+    th_ucsv = jnp.tile(jnp.asarray([0.5, 3.0, 0.2, 0.2]), (m, 1))
+    ucsv_models = jax.vmap(smc_pkg.ucsv_model)(th_ucsv)
+    cloud = jnp.stack([g[:, 0], g[:, 1], g[:, 2]], axis=-1)
+    lw_carry = jax.nn.log_softmax(
+        jax.random.normal(jax.random.key(8), (m, n)), axis=-1
+    )
+    xc, log_norm_c, row_lse_c, ess_c = ucsv_models.fused_propagate_reweight(
+        21, 1.3, cloud, normalize=True, carry_logw=lw_carry
+    )
+    xnc, incr_nc = ucsv_models.fused_propagate_reweight(21, 1.3, cloud)
+    tot = lw_carry + incr_nc
+    lse_c_ref = jax.scipy.special.logsumexp(tot, axis=-1, keepdims=True)
+    ok_carry = (
+        bool(jnp.all(xc == xnc))
+        and bool(jnp.allclose(log_norm_c, tot - lse_c_ref,
+                              rtol=1e-5, atol=1e-5))
+        and bool(jnp.allclose(row_lse_c, lse_c_ref[:, 0],
+                              rtol=1e-5, atol=1e-5))
+    )
+
     # 5. generic builder kernels (round 4): SV + LG draws on-chip.
     # σ-scaled increment of the fused SV step must be N(0, 1).
     import sequential_monte_carlo_tpu as smc
@@ -131,12 +156,12 @@ def validate(m, n):
     zl = np.asarray((xl1[..., 0] - 0.5 * xl0[..., 0]) / 0.9)
     ok_lg = abs(zl.mean()) < 0.05 and abs(zl.std() - 1.0) < 0.05
 
-    print(f"  norm_epilogue={ok_norm} "
+    print(f"  norm_epilogue={ok_norm} carry_epilogue={ok_carry} "
           f"sv_builder(mean={zs.mean():+.4f}, std={zs.std():.4f})={ok_sv} "
           f"lg_builder(mean={zl.mean():+.4f}, std={zl.std():.4f})={ok_lg}",
           flush=True)
     return (ok_gather and ok_u0 and ok_deg and ok_stats and ok_logw
-            and ok_norm and ok_sv and ok_lg)
+            and ok_norm and ok_carry and ok_sv and ok_lg)
 
 
 def time_two_kernel(m, n, iters):
