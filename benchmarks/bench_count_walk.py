@@ -1,5 +1,5 @@
-"""A/B harness: gen-4 band-mask walk (u0 route) vs the count-driven walk
-(VERDICT r4 #3 prototype) on real TPU.
+"""A/B harness: gen-4 band-mask walk (u0 route) vs the gen-6 count-driven
+walk (promoted to production in round 5 — VERDICT r4 #3) on real TPU.
 
 Both take the (M, 1) systematic offsets — the production SMC² resample
 route. Hardware-bitwise-checks each kernel against ITS OWN oracle first
@@ -32,12 +32,13 @@ import jax.numpy as jnp
 from roofline import timed_chain, report
 
 from sequential_monte_carlo_tpu.kernels.resample_walk import (
+    count_ancestors,
     resample_gather_walk,
 )
-from benchmarks.ablations.resample_count_walk import (
-    _count_ancestors,
-    resample_gather_count_walk,
-)
+
+
+def resample_gather_count_walk(u0, w, xs, tm=16, ot=128, cw=128):
+    return resample_gather_walk(None, w, xs, tm=tm, ot=ot, cw=cw, u0=u0)
 
 
 def oracle_gen4(u0, w, xs):
@@ -52,7 +53,7 @@ def oracle_gen4(u0, w, xs):
 
 
 def oracle_count(u0, w, xs):
-    anc = _count_ancestors(u0, w)
+    anc = count_ancestors(u0, w)
     return jax.vmap(lambda x, a: jnp.take(x, a, axis=1))(xs, anc)
 
 
@@ -72,16 +73,25 @@ def main():
     u0 = jax.random.uniform(jax.random.key(3), (m, 1), dtype=jnp.float32)
 
     gen4 = lambda u0_, w_, x_: resample_gather_walk(  # noqa: E731
-        None, w_, x_, u0=u0_
+        None, w_, x_, u0=u0_, formulation="band"
     )
     variants = [("walk(gen4,u0)", gen4, oracle_gen4)]
-    for tm in (8, 16):
+    for tm in (8, 16, 32):
         if m % tm == 0:
             variants.append((
                 f"count_walk tm={tm}",
                 lambda u0_, w_, x_, tm=tm: resample_gather_count_walk(
                     u0_, w_, x_, tm=tm
                 ),
+                oracle_count,
+            ))
+    for tm, ot, cw in ((16, 256, 128), (16, 128, 256), (8, 256, 256)):
+        if m % tm == 0 and n % ot == 0 and n % cw == 0 and n >= 2 * cw:
+            variants.append((
+                f"count_walk tm={tm} ot={ot} cw={cw}",
+                lambda u0_, w_, x_, tm=tm, ot=ot, cw=cw:
+                    resample_gather_count_walk(u0_, w_, x_, tm=tm, ot=ot,
+                                               cw=cw),
                 oracle_count,
             ))
 

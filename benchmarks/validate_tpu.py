@@ -58,15 +58,27 @@ def validate(m, n):
     ref = jax.vmap(lambda x, a: x[:, a])(planar, anc)
     ok_gather = bool(jnp.all(g == ref))
 
-    # 1b. the in-kernel systematic-grid route (u0) — the one the samplers
-    # actually dispatch — matches the host-grid route bitwise ON HARDWARE.
-    # (Interpret mode cannot certify this: round 3 found a float-iota op
-    # that verified on CPU interpret but failed Mosaic compilation.)
+    # 1b. the u0 route the samplers actually dispatch is the gen-6 COUNT
+    # formulation (round 5): bitwise ≡ its ceil-count ancestor oracle ON
+    # HARDWARE. The band formulation stays and must still match the
+    # host-grid route bitwise (it is production for explicit-u routes).
+    # (Interpret mode cannot certify either: round 3 found a float-iota
+    # op that verified on CPU interpret but failed Mosaic compilation —
+    # round 5 re-hit the same class in the count kernel's first compile.)
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        count_ancestors,
+    )
+
     u0 = jax.random.uniform(jax.random.key(3), (m, 1), dtype=jnp.float32)
     u_grid = (jnp.arange(n, dtype=jnp.float32)[None, :] + u0) / n
+    anc_cnt = count_ancestors(u0, w)
+    ref_cnt = jax.vmap(lambda x, a: x[:, a])(planar, anc_cnt)
     ok_u0 = bool(
+        jnp.all(resample_gather_walk(None, w, planar, u0=u0) == ref_cnt)
+    ) and bool(
         jnp.all(
-            resample_gather_walk(None, w, planar, u0=u0)
+            resample_gather_walk(None, w, planar, u0=u0,
+                                 formulation="band")
             == resample_gather_walk(u_grid, w, planar)
         )
     )
@@ -74,9 +86,16 @@ def validate(m, n):
     # 1c. degenerate point-mass weights ON HARDWARE at the production
     # tiling (interpret-mode covers tm=2 only): every output must copy
     # the single massive ancestor — the walk's bounded-work guarantee.
+    # Checked on BOTH formulations (band via explicit u, count via u0).
     w_deg = jnp.zeros((m, n)).at[:, n // 2].set(1.0)
+    expect_deg = jnp.broadcast_to(planar[:, :, n // 2 : n // 2 + 1],
+                                  planar.shape)
+    ok_deg_cnt = bool(
+        jnp.all(resample_gather_walk(None, w_deg, planar, u0=u0)
+                == expect_deg)
+    )
     g_deg = resample_gather_walk(u, w_deg, planar)
-    ok_deg = bool(
+    ok_deg = ok_deg_cnt and bool(
         jnp.all(g_deg == jnp.broadcast_to(planar[:, :, n // 2 : n // 2 + 1],
                                           planar.shape))
     )

@@ -50,6 +50,26 @@ in-kernel ``tpu.dynamic_gather`` of walked indices (Mosaic's gather cannot
 span >128 lanes), and in-kernel systematic-uniform generation from the
 scalar u0 (the (1, OT, 1) sublane-thin f32 arithmetic costs more than the
 one-hot tile extraction it replaces).
+
+Round 5 — the COUNT formulation (gen 6) replaces the band mask on the
+systematic (u0) route. The systematic grid u_o = (o + u0)/N makes
+offspring counts closed-form, so input j's contiguous output span is
+[S_lo_j, S_hi_j) with S_hi_j = ⌈N·cdf_j − u0⌉ — located without ever
+materializing or comparing uniforms. The kernel keeps the identical
+monotone chunk-walk + int8 selection-matmul structure but compares the
+int32 span streams against ONE constant output iota (shifted per tile by
+a scalar subtract), killing the (M, OT, n_tiles) u-grid stream (an M·N
+HBM write + VMEM block) and the per-tile one-hot sublane extraction.
+Measured (v5e, incl. prep): **5.72 vs 7.03 ms** at 512×8192 and
+**1.35 vs 1.46 ms** at 512×1024 — the first formulation to beat the
+band-mask walk's VPU floor, by changing what the compares are against.
+Tie semantics are #{cdf_j ≤ u_o} through f32 ⌈·⌉ (the textbook count
+definition of systematic resampling) — NOT bitwise-equal to
+searchsorted(cdf, u, "left") at f32 rounding boundaries (< 1e-3 of
+slots; both are exact draws of the scheme). The band formulation stays
+production for explicit-u routes (stratified / elastic sorted grids,
+where no closed-form span exists) and reachable on the u0 route via
+``formulation="band"``.
 """
 from __future__ import annotations
 
@@ -63,29 +83,36 @@ from jax.experimental.pallas import tpu as pltpu
 from .resample_pallas import _to_byte_planes, resample_gather_bytes
 
 
-def _autotune_tm(c: int, n: int) -> int:
+def _autotune_tm(c: int, n: int, has_u: bool = True) -> int:
     """θ-rows per grid step, by measured speed + an explicit VMEM model.
 
     Speed (v5e sweeps, skew-2 log-weights): tm=16 beats tm=8 at every
     size (32 grid steps pipeline better than 64, round 3), and at
-    N ≤ 2048 one more doubling wins (round 4, 512×1024: tm=32 1.056 ms <
-    tm=16 1.105 < tm=64 1.138 — beyond that the wider group-union chunk
-    bounds eat the grid savings).
+    N ≤ 2048 one more doubling wins for the BAND route (round 4,
+    512×1024: tm=32 1.056 ms < tm=16 1.105 < tm=64 1.138 — beyond that
+    the wider group-union chunk bounds eat the grid savings). The count
+    route (``has_u=False``, round 5) prefers tm=16 at EVERY size
+    (512×1024: tm=16 1.375 < tm=8 1.436 < tm=32 1.491; 512×8192: tm=16
+    5.608 < tm=32 5.709 < tm=8 6.174) — without the u-grid block its
+    per-group working set is smaller, and the band route's small-N tm=32
+    win came from amortizing the per-tile u extraction the count route
+    doesn't have.
 
     VMEM: the per-group blocks (int8 planes + f32 out + two
-    sublane-padded cdf streams + the u grid) grow with BOTH the padded
-    component count and N; tm=16 at (c_pad=8, N=8192) exceeds the 16 MB
-    scoped-VMEM limit (a Mosaic compile error, not a fallback). Halve tm
-    while the per-group byte estimate exceeds a budget calibrated so
-    (tm=16, c_pad=4, N=8192) sits AT it (measured to fit) and
-    (tm=16, c_pad=8, N=8192) exceeds it (measured OOM). Per element of
-    the tm·n tile: u grid 4 B + two cdf streams at 8-sublane padding
-    (2·8·4 B) + 4·c_pad int8 planes + the 8-sublane-rounded f32 output.
+    sublane-padded cdf/span streams +, band route only, the u grid) grow
+    with BOTH the padded component count and N; tm=16 at (c_pad=8,
+    N=8192) exceeds the 16 MB scoped-VMEM limit (a Mosaic compile error,
+    not a fallback). Halve tm while the per-group byte estimate exceeds
+    a budget calibrated so (tm=16, c_pad=4, N=8192) sits AT it (measured
+    to fit) and (tm=16, c_pad=8, N=8192) exceeds it (measured OOM). Per
+    element of the tm·n tile: u grid 4 B (band route) + two cdf/span
+    streams at 8-sublane padding (2·8·4 B) + 4·c_pad int8 planes + the
+    8-sublane-rounded f32 output.
     """
     c_pad = -(-c // 4) * 4
-    per_el = 4 + 64 + 4 * c_pad + (-(-c_pad // 8) * 8) * 4
+    per_el = (4 if has_u else 0) + 64 + 4 * c_pad + (-(-c_pad // 8) * 8) * 4
     budget = 16 * 8192 * (4 + 64 + 16 + 32)  # the calibration point
-    tm = 32 if n <= 2048 else 16
+    tm = (32 if n <= 2048 else 16) if has_u else 16
     while tm > 1 and tm * n * per_el > budget:
         tm //= 2
     return tm
@@ -189,12 +216,91 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
+def count_ancestors(u0, weights):
+    """XLA oracle for the count formulation: systematic ancestors by
+    closed-form offspring counts.
+
+    a_o = #{j : S_hi_j ≤ o},  S_hi_j = ⌈N·cdf_j − u0⌉ (last forced to N)
+    — the textbook count definition of systematic resampling
+    (≡ the scheme of /root/reference/src/particles.jl:17-19 with sorted
+    systematic uniforms). Returns (M, N) int32, bitwise ≡ the count-walk
+    kernel's gather indices.
+    """
+    m, n = weights.shape
+    cdf = jnp.cumsum(weights, axis=-1)
+    cdf = cdf / cdf[..., -1:]
+    s_hi = jnp.ceil(n * cdf - u0)
+    s_hi = s_hi.at[..., -1].set(float(n))
+    o = jnp.arange(n, dtype=s_hi.dtype)[None, :] * jnp.ones((m, 1), s_hi.dtype)
+    return jax.vmap(
+        lambda s, oo: jnp.clip(
+            jnp.searchsorted(s, oo, side="right"), 0, n - 1
+        ).astype(jnp.int32)
+    )(s_hi, o)
+
+
+def _count_kernel(ks_ref, ke_ref, slo_ref, shi_ref, xs_ref, out_ref, *,
+                  cw: int, ot: int):
+    """Count-formulation walk body (gen 6, round 5 — see module doc):
+    identical chunk-walk + int8 selection matmul as ``_kernel``, but the
+    band mask compares the int32 span streams against one constant
+    output iota instead of per-tile-extracted uniforms against the CDF."""
+    tm = slo_ref.shape[0]
+    c4 = xs_ref.shape[1]
+    c = c4 // 4
+    n_tiles = out_ref.shape[2] // ot
+    g = pl.program_id(0)
+
+    # constant output iota, built ONCE per group: lane index within a
+    # tile. MUST be integer — Mosaic's tpu.iota rejects float element
+    # types (the round-3 float-iota lesson, re-hit on this kernel's first
+    # hardware compile).
+    o_iota = jax.lax.broadcasted_iota(jnp.int32, (1, ot, 1), 1)
+
+    def tile_body(t, _):
+        base = t * ot
+        ks = ks_ref[g * n_tiles + t]
+        ke = ke_ref[g * n_tiles + t]
+
+        def chunk_body(k, acc):
+            # shift the span chunk by the tile's base instead of building
+            # a per-tile global iota: two (TM, 1, CW) subtracts ≪ mask
+            # volume (the in-kernel per-tile u-grid, by contrast, lost
+            # twice — see tile_body in ``_kernel``)
+            lo = slo_ref[:, :, pl.ds(k * cw, cw)] - base  # (TM, 1, CW)
+            hi = shi_ref[:, :, pl.ds(k * cw, cw)] - base
+            band = ((o_iota >= lo) & (o_iota < hi)).astype(jnp.int8)
+            return acc + jax.lax.dot_general(
+                xs_ref[:, :, pl.ds(k * cw, cw)],  # (TM, 4C, CW)
+                band,  # (TM, OT, CW)
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+
+        acc = jax.lax.fori_loop(
+            ks, ke, chunk_body, jnp.zeros((tm, c4, ot), jnp.int32)
+        )
+        b0 = acc[:, 0 * c : 1 * c, :] & 0xFF
+        b1 = acc[:, 1 * c : 2 * c, :] & 0xFF
+        b2 = acc[:, 2 * c : 3 * c, :] & 0xFF
+        b3 = acc[:, 3 * c : 4 * c, :] & 0xFF
+        word = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24)
+        out_ref[:, :, pl.ds(t * ot, ot)] = jax.lax.bitcast_convert_type(
+            word, jnp.float32
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("tm", "ot", "cw", "interpret",
-                                             "xor_mask", "n_sub"))
+                                             "xor_mask", "n_sub",
+                                             "formulation"))
 def resample_gather_walk(u, weights, xs, tm: int | None = None,
                          ot: int = 128, cw: int = 128,
                          interpret: bool = False, u0=None,
-                         xor_mask: bool = False, n_sub: int = 1):
+                         xor_mask: bool = False, n_sub: int = 1,
+                         formulation: str = "count"):
     """Fused sorted-uniform resample + ancestor gather, chunk-walk kernel.
 
     Args:
@@ -212,22 +318,31 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                (must divide tm). 1 = production (group-union bounds);
                >1 is the measured-slower round-4 ablation, kept reachable
                for tests.
-      u0:      (M, 1) systematic offsets. When given, the grid
-               u_i = (i + u0)/N is built host-side DIRECTLY in the
-               kernel's transposed (M, OT, n_tiles) layout — bitwise-equal
-               to passing ``systematic_uniforms`` output. The M·N values
-               are still materialized (one fused elementwise write); what
-               this route avoids is the reshape+swapaxes RELAYOUT of a
-               lane-major (M, N) grid, which is where the time went.
+      u0:      (M, 1) systematic offsets. Dispatches the gen-6 COUNT
+               route (round 5, default): int32 offspring-span streams
+               S = ⌈N·cdf − u0⌉ compared against a constant output iota —
+               no uniforms are materialized at all. Bitwise oracle:
+               :func:`count_ancestors` + take.
+      formulation: u0-route selector. "count" (production) or "band" —
+               the gen-4 band-mask route, which builds the grid
+               u_i = (i + u0)/N host-side in the kernel's transposed
+               (M, OT, n_tiles) layout, bitwise-equal to passing
+               ``systematic_uniforms`` output (kept as the measured A/B
+               reference; it IS the production path for explicit-u
+               routes, where no closed-form span exists).
 
-    Returns (M, C, N) f32: ``xs`` gathered by the systematic ancestors —
-    bitwise-equal to searchsorted(cdf, u, side="left") + take, the same tie
-    semantics as ``resample_gather`` / ``resample_gather_bytes``.
+    Returns (M, C, N) f32: ``xs`` gathered by the systematic ancestors.
+    Explicit-u and ``formulation="band"`` routes are bitwise-equal to
+    searchsorted(cdf, u, side="left") + take — the same tie semantics as
+    ``resample_gather`` / ``resample_gather_bytes``; the count route's
+    tie semantics are ``count_ancestors`` (see module doc — both exact
+    systematic draws, differing on < 1e-3 of slots at f32 rounding ties).
     """
     m, n = weights.shape
     sys_u = u0 is not None
+    count_route = sys_u and formulation == "count"
     if tm is None:
-        tm = _autotune_tm(xs.shape[1], n)
+        tm = _autotune_tm(xs.shape[1], n, has_u=not count_route)
     while m % tm:
         tm -= 1
     if n % ot or n % cw or m % tm or n < 2 * cw:
@@ -245,12 +360,68 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     xb = _to_byte_planes(xs_p)  # (M, 4·c_pad, N) int8
     cdf = jnp.cumsum(weights, axis=-1)
     cdf = cdf / cdf[..., -1:]
-    cdf = cdf.at[..., -1].set(jnp.float32(1.0) + 1e-6)
-    cdf_prev = jnp.pad(cdf[..., :-1], ((0, 0), (1, 0)), constant_values=-1.0)
 
     n_groups = m // tm
     n_tiles = n // ot
     n_chunks = n // cw
+
+    if count_route:
+        # -- gen-6 count route (round 5): int32 span streams, no u grid --
+        s_hi = jnp.ceil(n * cdf - u0)
+        s_hi = s_hi.at[..., -1].set(jnp.float32(n))  # exact coverage
+        s_lo = jnp.pad(s_hi[..., :-1], ((0, 0), (1, 0)),
+                       constant_values=0.0)
+        # per-(row, tile) chunk bounds against integer output indices:
+        # chunk k is spent once its end-span ≤ the tile's first output;
+        # the last needed chunk is the one whose end-span first exceeds
+        # the tile's last output
+        chunk_ends = s_hi[:, cw - 1 :: cw]  # (M, n_chunks)
+        o_first = (jnp.arange(n_tiles, dtype=s_hi.dtype) * ot)[None, :]
+        o_last = o_first + (ot - 1)
+        k_start = jnp.sum(
+            chunk_ends[:, :, None] <= o_first[:, None, :], axis=1,
+            dtype=jnp.int32,
+        )
+        k_last = jnp.sum(
+            chunk_ends[:, :, None] <= o_last[:, None, :], axis=1,
+            dtype=jnp.int32,
+        )
+        k_start = jnp.minimum(k_start, n_chunks - 1)
+        k_last = jnp.minimum(k_last, n_chunks - 1)
+        gks = k_start.reshape(n_groups, tm, n_tiles).min(axis=1)
+        gke = k_last.reshape(n_groups, tm, n_tiles).max(axis=1) + 1
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_groups,),
+            in_specs=[
+                pl.BlockSpec((tm, 1, n), lambda g, ks, ke: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, 1, n), lambda g, ks, ke: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tm, 4 * c_pad, n), lambda g, ks, ke: (g, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tm, c_pad, n),
+                                   lambda g, ks, ke: (g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            functools.partial(_count_kernel, cw=cw, ot=ot),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((m, c_pad, n), jnp.float32),
+            interpret=interpret,
+        )(
+            gks.reshape(-1),
+            gke.reshape(-1),
+            s_lo[:, None, :].astype(jnp.int32),
+            s_hi[:, None, :].astype(jnp.int32),
+            xb,
+        )
+        return out if c_pad == c else out[:, :c, :]
+
+    cdf = cdf.at[..., -1].set(jnp.float32(1.0) + 1e-6)
+    cdf_prev = jnp.pad(cdf[..., :-1], ((0, 0), (1, 0)), constant_values=-1.0)
 
     # per-(row, tile) chunk bounds by vectorized compare-sum (no
     # searchsorted): first chunk whose end-CDF covers the tile's first /

@@ -532,6 +532,13 @@ class SMC2:
         sync, the same as un-armed ones. A fired doubling is serviced one
         step after its trigger (the triggering step completes at the old N,
         matching the step()+maybe_exchange timing — DEVIATIONS.md §5).
+        Documented tradeoff (ADVICE r4): a doubling that fires EARLY in a
+        round still dispatches the round's remaining segments as fully
+        dead no-op scans before the sync — bounded waste (< one round of
+        empty dispatches per fired doubling, ≤ log2(cap/N) doublings
+        total); trading it away would reintroduce a host sync per segment
+        boundary, which measured +15.5% on armed-but-idle runs
+        (PERF_NOTES round 4).
         """
         y = jnp.asarray(y)
         T = int(y.shape[0])

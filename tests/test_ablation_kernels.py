@@ -67,45 +67,3 @@ def test_resample_gather_take_bitwise(concentration):
     anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
     ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
     assert bool(jnp.all(out == ref))
-
-
-@pytest.mark.parametrize("concentration", [0.0, 2.0, 8.0])
-def test_resample_gather_count_walk_bitwise(concentration):
-    """Count-driven walk (VERDICT r4 #3 prototype) ≡ its ceil-count
-    ancestor oracle at any weight concentration. (Its tie semantics are
-    #{cdf ≤ u} through f32 ceil — a valid systematic draw, but not the
-    searchsorted-left oracle of gen-4; see the module docstring.)"""
-    from benchmarks.ablations.resample_count_walk import (
-        _count_ancestors,
-        resample_gather_count_walk,
-    )
-    from jax.experimental.pallas import tpu as pltpu
-
-    M, N, C = 32, 2048, 3
-    w = jax.nn.softmax(
-        jax.random.normal(jax.random.key(0), (M, N)) * concentration
-    )
-    xs = jax.random.normal(jax.random.key(1), (M, C, N))
-    u0 = jax.random.uniform(jax.random.key(2), (M, 1))
-    anc = _count_ancestors(u0, w)
-    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
-    with pltpu.force_tpu_interpret_mode():
-        for tm in (16, 2):
-            out = resample_gather_count_walk(u0, w, xs, tm=tm)
-            assert bool(jnp.all(out == ref)), tm
-
-
-def test_count_walk_ancestors_match_searchsorted_statistics():
-    """The count formulation's ancestors agree with searchsorted-left
-    everywhere except f32 rounding ties (expected: zero or a handful of
-    positions out of M·N)."""
-    from benchmarks.ablations.resample_count_walk import _count_ancestors
-
-    M, N = 16, 4096
-    w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (M, N)) * 2)
-    u0 = jax.random.uniform(jax.random.key(1), (M, 1))
-    anc_cnt = _count_ancestors(u0, w)
-    u = (jnp.arange(N, dtype=jnp.float32)[None, :] + u0) / N
-    anc_ss = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
-    frac = float(jnp.mean((anc_cnt != anc_ss).astype(jnp.float32)))
-    assert frac < 1e-3, frac

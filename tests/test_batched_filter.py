@@ -168,32 +168,68 @@ def test_walk_kernel_tm_autotune():
     assert _autotune_tm(3, 12288) == 8  # non-power-of-two N downshifts
     assert _autotune_tm(12, 8192) == 8  # c_pad=12 downshifts
     assert _autotune_tm(3, 16384) == 8
+    # count route (round 5): tm=16 measured fastest at EVERY size
+    assert _autotune_tm(3, 1024, has_u=False) == 16
+    assert _autotune_tm(3, 8192, has_u=False) == 16
+    assert _autotune_tm(8, 8192, has_u=False) == 8  # VMEM downshift holds
 
 
 def test_resample_gather_walk_u0_route_bitwise():
     """The (M, 1)-offset route (the one the samplers dispatch for
-    systematic resampling) ≡ passing the materialized grid ≡ the
-    searchsorted+take oracle. NB: interpret mode cannot certify Mosaic
-    lowering — round 3 shipped a float-iota here that was interpret-green
-    and failed hardware compilation; `benchmarks/validate_tpu.py` repeats
-    this check on the chip."""
+    systematic resampling) is the gen-6 COUNT formulation since round 5:
+    bitwise ≡ its closed-form ceil-count ancestor oracle, at any weight
+    concentration. ``formulation="band"`` keeps the gen-4 route ≡ the
+    materialized grid ≡ the searchsorted+take oracle. NB: interpret mode
+    cannot certify Mosaic lowering — round 3 shipped a float-iota that
+    was interpret-green and failed hardware compilation (round 5 re-hit
+    it in the count kernel); `benchmarks/validate_tpu.py` repeats both
+    checks on the chip."""
     from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        count_ancestors,
         resample_gather_walk,
     )
     from jax.experimental.pallas import tpu as pltpu
 
-    M, N, C = 4, 2048, 3
+    M, N, C = 32, 2048, 3
+    for conc in (0.0, 2.0, 8.0):
+        w = jax.nn.softmax(
+            jax.random.normal(jax.random.key(0), (M, N)) * conc
+        )
+        xs = jax.random.normal(jax.random.key(1), (M, C, N))
+        u0 = jax.random.uniform(jax.random.key(2), (M, 1))
+        u = (jnp.arange(N, dtype=jnp.float32)[None, :] + u0) / N
+        with pltpu.force_tpu_interpret_mode():
+            out_cnt = resample_gather_walk(None, w, xs, tm=16, u0=u0)
+            out_cnt2 = resample_gather_walk(None, w, xs, tm=2, u0=u0)
+            out_band = resample_gather_walk(None, w, xs, tm=2, u0=u0,
+                                            formulation="band")
+            out_u = resample_gather_walk(u, w, xs, tm=2)
+        anc_cnt = count_ancestors(u0, w)
+        ref_cnt = jax.vmap(lambda x, a: x[:, a])(xs, anc_cnt)
+        assert bool(jnp.all(out_cnt == ref_cnt)), conc
+        assert bool(jnp.all(out_cnt2 == ref_cnt)), conc
+        anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+        ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
+        assert bool(jnp.all(out_band == out_u)), conc
+        assert bool(jnp.all(out_band == ref)), conc
+
+
+def test_count_walk_ancestors_match_searchsorted_statistics():
+    """The count formulation's ancestors agree with searchsorted-left
+    everywhere except f32 rounding ties (expected: zero or a handful of
+    positions out of M·N) — both exact systematic draws."""
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        count_ancestors,
+    )
+
+    M, N = 16, 4096
     w = jax.nn.softmax(jax.random.normal(jax.random.key(0), (M, N)) * 2)
-    xs = jax.random.normal(jax.random.key(1), (M, C, N))
-    u0 = jax.random.uniform(jax.random.key(2), (M, 1))
+    u0 = jax.random.uniform(jax.random.key(1), (M, 1))
+    anc_cnt = count_ancestors(u0, w)
     u = (jnp.arange(N, dtype=jnp.float32)[None, :] + u0) / N
-    with pltpu.force_tpu_interpret_mode():
-        out_u0 = resample_gather_walk(None, w, xs, tm=2, u0=u0)
-        out_u = resample_gather_walk(u, w, xs, tm=2)
-    anc = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
-    ref = jax.vmap(lambda x, a: x[:, a])(xs, anc)
-    assert bool(jnp.all(out_u0 == out_u))
-    assert bool(jnp.all(out_u0 == ref))
+    anc_ss = jax.vmap(lambda uu, ww: _inverse_cdf(uu, ww))(u, w)
+    frac = float(jnp.mean((anc_cnt != anc_ss).astype(jnp.float32)))
+    assert frac < 1e-3, frac
 
 
 def test_resample_gather_walk_degenerate_weight():
