@@ -44,6 +44,12 @@ def main():
                    help="<1 profiles the ADAPTIVE route (VERDICT r4 #2): "
                         "steps where no row's ESS trigger fires take the "
                         "lax.cond skip branch and drop the walk kernel")
+    p.add_argument("--uniform-weights", action="store_true",
+                   help="reset log-weights to -log N before every step: "
+                        "with --ess-threshold < 1 the trigger provably "
+                        "never fires, profiling the pure SKIP branch "
+                        "(this synthetic chain otherwise degenerates and "
+                        "fires every step)")
     args = p.parse_args()
     m, n, iters = args.m, args.n, args.iters
 
@@ -61,6 +67,8 @@ def main():
     def chain(key, xp, lw):
         def body(carry, k):
             xp, lw = carry
+            if args.uniform_weights:
+                lw = jnp.full_like(lw, -jnp.log(float(n)))
             out = batched_pf_step(k, models, xp, lw, jnp.float32(2.5), cfg)
             return (out.particles, out.log_weights), None
 
@@ -91,8 +99,10 @@ def main():
         if (e.get("ph") == "X" and "dur" in e
                 and "TPU" in pids.get(e.get("pid"), "")):
             name = e.get("name", "?")
-            # skip the enclosing program/while wrappers (double counting)
-            if name.startswith("jit_chain") or name.startswith("while"):
+            # skip the enclosing program/while/cond wrappers (their
+            # duration re-counts every child op inside them)
+            if (name.startswith("jit_chain") or name.startswith("while")
+                    or name.startswith("conditional")):
                 continue
             agg[name] += e["dur"]
             total += e["dur"]
