@@ -118,7 +118,9 @@ def run_online(name, model_fn, prior, y, n, m, chain, outdir, dates=None):
     jax.block_until_ready(state)
     dt = time.time() - t0
     theta_hat = np.asarray(smc.expected_parameters(state))
+    n_rejuv = int(np.asarray(infos.rejuvenated).sum())
     print(f"[{name}] SMC² {m}x{n} T={len(y)} in {dt:.1f}s; "
+          f"rejuvenations={n_rejuv}; "
           f"final ess={float(state.ess):.1f}; θ̂={theta_hat.round(4)}")
 
     d1 = None if dates is None else dates[1:]

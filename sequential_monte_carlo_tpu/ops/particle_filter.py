@@ -78,6 +78,14 @@ class PFConfig(NamedTuple):
     # kernel (arbitrary user callables can't be traced into it); the fused
     # resample kernel — which is proposal-independent — still applies.
     proposal: object = None
+    # inner-filter algorithm for the BATCHED layer (and hence the
+    # samplers): "bootstrap" (default; ``proposal`` makes it guided) or
+    # "apf" — the auxiliary particle filter's transition-mean lookahead
+    # (Pitt & Shephard 1999; ≡ the single-filter ``apf_step``), batched
+    # over all M clouds with the lookahead weights riding the fused
+    # resample kernel. APF resamples by construction every step and is
+    # not defined for the elastic padded-N mode.
+    algorithm: str = "bootstrap"
 
 
 class Proposal(NamedTuple):

@@ -658,3 +658,43 @@ def test_lg_fused_prep_bitwise(setup):
         xb, wb = models.fused_propagate_reweight(seed, y0, x, prep=prep)
     np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
     np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+
+
+def test_batched_apf_matches_kalman(setup):
+    """Batched auxiliary-PF route (PFConfig(algorithm='apf'), VERDICT r4
+    #6 lookahead): logZ matches the exact Kalman oracle within MC error
+    on the XLA route. The fused route is plumbing-checked only — the
+    TPU-interpret PRNG is a zeros stub on CPU, so fused-propagate draw
+    STATISTICS verify on hardware (validate_tpu.py), same convention as
+    the bootstrap tests."""
+    models, y, M = setup
+    kz = jax.vmap(lambda m: smc.kalman_log_likelihood(m, y)[1])(models)
+    cfg = smc.PFConfig("systematic", 1.0, "off", algorithm="apf")
+    _, _, logz = batched_log_likelihood(
+        jax.random.key(13), models, 512, M, y, cfg
+    )
+    assert np.abs(np.asarray(logz - kz)).max() < 2.5
+
+    cfg_on = smc.PFConfig("systematic", 1.0, "on", algorithm="apf")
+    init = batched_pf_init(jax.random.key(0), models, 128, M, y[0])
+    out = batched_pf_step(
+        jax.random.key(1), models, init.particles, init.log_weights,
+        y[1], cfg_on,
+    )
+    lw = np.asarray(out.log_weights)
+    np.testing.assert_allclose(np.exp(lw).sum(-1), np.ones(M), rtol=1e-4)
+    assert np.isfinite(np.asarray(out.log_mean)).all()
+
+
+def test_batched_apf_rejects_elastic():
+    import pytest as _pytest
+
+    thetas = jnp.stack([jnp.asarray([0.5, 0.9, 0.8])] * 4)
+    models = jax.vmap(smc.lg_model)(thetas)
+    cfg = smc.PFConfig("systematic", 1.0, "off", algorithm="apf")
+    init = batched_pf_init(jax.random.key(0), models, 64, 4, jnp.asarray(0.1))
+    with _pytest.raises(ValueError, match="apf"):
+        batched_pf_step(
+            jax.random.key(1), models, init.particles, init.log_weights,
+            jnp.asarray(0.2), cfg, active_n=jnp.asarray(32),
+        )

@@ -383,3 +383,24 @@ def test_smc2_guided_inner_filter(lg_setup, oracle_mean):
     dz = np.asarray(state.log_z) - kz
     assert np.isfinite(dz).all()
     assert np.abs(np.median(dz)) < 2.0
+
+
+def test_smc2_apf_inner_filter(lg_setup, oracle_mean):
+    """SMC² with an AUXILIARY-PF inner filter (PFConfig(algorithm='apf'),
+    VERDICT r4 #6 lookahead) recovers the oracle posterior — the whole L3
+    stack (online steps + PMMH rejuvenation) runs APF inner filters."""
+    prior, y = lg_setup
+    cfg = CFG._replace(
+        inner=smc.PFConfig("systematic", 1.0, "off", algorithm="apf")
+    )
+    sampler = smc.SMC2(smc.lg_model, prior, cfg)
+    state, infos = sampler.run(jax.random.key(23), y)
+    got = np.asarray(smc.expected_parameters(state))
+    assert np.all(np.abs(got - oracle_mean) < 0.3), (got, oracle_mean)
+    models = jax.vmap(smc.lg_model)(state.theta)
+    kz = np.asarray(
+        jax.vmap(lambda m: smc.kalman_log_likelihood(m, y)[1])(models)
+    )
+    dz = np.asarray(state.log_z) - kz
+    assert np.isfinite(dz).all()
+    assert np.abs(np.median(dz)) < 2.0
