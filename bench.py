@@ -94,7 +94,7 @@ BASELINE_CPU_WALLCLOCK_S = {
 }
 
 
-def _measure(smc, jax, jnp, y, m, n, t, chain, repeats):
+def _measure(smc, jax, jnp, y, m, n, t, chain, repeats, inner_ess=1.0):
     """Compile-warm + best-of-``repeats`` timed runs.
 
     Returns (runs, ok) with ``runs`` the list of per-run wall-clocks —
@@ -111,7 +111,8 @@ def _measure(smc, jax, jnp, y, m, n, t, chain, repeats):
         ]
     )
     cfg = smc.SMCConfig(
-        n_particles=n, n_theta=m, chain=chain, ess_threshold=0.5
+        n_particles=n, n_theta=m, chain=chain, ess_threshold=0.5,
+        inner=smc.PFConfig("systematic", inner_ess),
     )
     sampler = smc.SMC2(smc.ucsv_model, prior, cfg)
 
@@ -138,6 +139,12 @@ def main():
     p.add_argument("--flagship-repeats", type=int, default=2)
     p.add_argument("--no-flagship", action="store_true",
                    help="skip the 512x8192 flagship config")
+    p.add_argument("--inner-ess", type=float, default=1.0,
+                   help="inner-PF ESS resampling threshold (1.0 = "
+                        "reference-parity always-resample, the recorded "
+                        "baseline; <1 measures the adaptive lax.cond "
+                        "skip mode, VERDICT r4 #2 — NOT the driver "
+                        "headline, statistics differ)")
     p.add_argument("--flagship-n", type=int, default=8192)
     p.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     args = p.parse_args()
@@ -175,7 +182,8 @@ def main():
     )
 
     runs, ok = _measure(
-        smc, jax, jnp, y, args.m, args.n, args.t, args.chain, args.repeats
+        smc, jax, jnp, y, args.m, args.n, args.t, args.chain, args.repeats,
+        args.inner_ess,
     )
     if not ok:
         print(json.dumps({"metric": "smc2_ucsv_wallclock", "value": -1,
@@ -185,8 +193,9 @@ def main():
 
     best = min(runs)
     baseline = BASELINE_CPU_WALLCLOCK_S.get((args.m, args.n))
+    suffix = "" if args.inner_ess >= 1.0 else f"_adaptive{args.inner_ess}"
     result = {
-        "metric": f"smc2_ucsv_{args.m}x{args.n}_T{args.t}_wallclock",
+        "metric": f"smc2_ucsv_{args.m}x{args.n}_T{args.t}_wallclock{suffix}",
         "value": round(best, 4),
         "unit": "s",
         "vs_baseline": round(baseline / best, 2) if baseline else 0.0,
@@ -198,13 +207,14 @@ def main():
     if not args.no_flagship and args.flagship_n != args.n:
         fruns, fok = _measure(
             smc, jax, jnp, y, args.m, args.flagship_n, args.t, args.chain,
-            args.flagship_repeats,
+            args.flagship_repeats, args.inner_ess,
         )
         fbest = min(fruns)
         fbaseline = BASELINE_CPU_WALLCLOCK_S.get((args.m, args.flagship_n))
         result["flagship"] = {
             "metric": (
-                f"smc2_ucsv_{args.m}x{args.flagship_n}_T{args.t}_wallclock"
+                f"smc2_ucsv_{args.m}x{args.flagship_n}_T{args.t}"
+                f"_wallclock{suffix}"
             ),
             "value": round(fbest, 4) if fok else -1,
             "unit": "s",

@@ -37,8 +37,10 @@ from sequential_monte_carlo_tpu.kernels.resample_walk import (
 )
 
 
-def resample_gather_count_walk(u0, w, xs, tm=16, ot=128, cw=128):
-    return resample_gather_walk(None, w, xs, tm=tm, ot=ot, cw=cw, u0=u0)
+def resample_gather_count_walk(u0, w, xs, tm=16, ot=128, cw=128,
+                               span_dtype="int32"):
+    return resample_gather_walk(None, w, xs, tm=tm, ot=ot, cw=cw, u0=u0,
+                                span_dtype=span_dtype)
 
 
 def oracle_gen4(u0, w, xs):
@@ -82,6 +84,15 @@ def main():
                 f"count_walk tm={tm}",
                 lambda u0_, w_, x_, tm=tm: resample_gather_count_walk(
                     u0_, w_, x_, tm=tm
+                ),
+                oracle_count,
+            ))
+    for tm in (16,):
+        if m % tm == 0 and n <= 16384:
+            variants.append((
+                f"count_walk tm={tm} i16-spans",
+                lambda u0_, w_, x_, tm=tm: resample_gather_count_walk(
+                    u0_, w_, x_, tm=tm, span_dtype="int16"
                 ),
                 oracle_count,
             ))

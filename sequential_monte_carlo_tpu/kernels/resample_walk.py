@@ -243,22 +243,25 @@ def _count_kernel(ks_ref, ke_ref, slo_ref, shi_ref, xs_ref, out_ref, *,
                   cw: int, ot: int):
     """Count-formulation walk body (gen 6, round 5 — see module doc):
     identical chunk-walk + int8 selection matmul as ``_kernel``, but the
-    band mask compares the int32 span streams against one constant
-    output iota instead of per-tile-extracted uniforms against the CDF."""
+    band mask compares the span streams against one constant output iota
+    instead of per-tile-extracted uniforms against the CDF. The span
+    element type follows the refs (int32 production; int16 reachable via
+    ``span_dtype`` for the measured throughput experiment)."""
     tm = slo_ref.shape[0]
     c4 = xs_ref.shape[1]
     c = c4 // 4
     n_tiles = out_ref.shape[2] // ot
     g = pl.program_id(0)
+    sdt = slo_ref.dtype
 
     # constant output iota, built ONCE per group: lane index within a
     # tile. MUST be integer — Mosaic's tpu.iota rejects float element
     # types (the round-3 float-iota lesson, re-hit on this kernel's first
     # hardware compile).
-    o_iota = jax.lax.broadcasted_iota(jnp.int32, (1, ot, 1), 1)
+    o_iota = jax.lax.broadcasted_iota(jnp.int32, (1, ot, 1), 1).astype(sdt)
 
     def tile_body(t, _):
-        base = t * ot
+        base = (t * ot).astype(sdt)
         ks = ks_ref[g * n_tiles + t]
         ke = ke_ref[g * n_tiles + t]
 
@@ -295,12 +298,13 @@ def _count_kernel(ks_ref, ke_ref, slo_ref, shi_ref, xs_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("tm", "ot", "cw", "interpret",
                                              "xor_mask", "n_sub",
-                                             "formulation"))
+                                             "formulation", "span_dtype"))
 def resample_gather_walk(u, weights, xs, tm: int | None = None,
                          ot: int = 128, cw: int = 128,
                          interpret: bool = False, u0=None,
                          xor_mask: bool = False, n_sub: int = 1,
-                         formulation: str = "count"):
+                         formulation: str = "count",
+                         span_dtype: str = "int32"):
     """Fused sorted-uniform resample + ancestor gather, chunk-walk kernel.
 
     Args:
@@ -406,6 +410,14 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                                    lambda g, ks, ke: (g, 0, 0),
                                    memory_space=pltpu.VMEM),
         )
+        # span element type: int32 production. "int16" is the narrower-
+        # lane throughput experiment (legal while spans |·| < 2^15, i.e.
+        # N ≤ 16384) — ABLATION RECORD: interpret-bitwise-correct but
+        # crashes the Mosaic compiler internally on hardware (round 5,
+        # PERF_NOTES); kept reachable for when the toolchain moves.
+        sdt = jnp.dtype(span_dtype)
+        if sdt == jnp.int16 and n > 16384:
+            sdt = jnp.dtype(jnp.int32)
         out = pl.pallas_call(
             functools.partial(_count_kernel, cw=cw, ot=ot),
             grid_spec=grid_spec,
@@ -414,8 +426,8 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
         )(
             gks.reshape(-1),
             gke.reshape(-1),
-            s_lo[:, None, :].astype(jnp.int32),
-            s_hi[:, None, :].astype(jnp.int32),
+            s_lo[:, None, :].astype(sdt),
+            s_hi[:, None, :].astype(sdt),
             xb,
         )
         return out if c_pad == c else out[:, :c, :]
