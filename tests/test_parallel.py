@@ -320,3 +320,43 @@ def test_particle_sharded_mesh_disables_fused_and_runs(ucsv_setup):
     state, info = sh.step(state, y)
     assert np.isfinite(float(state.ess))
     assert int(state.t) == 2
+
+
+def test_sharded_adaptive_cond_matches_unsharded(ucsv_setup):
+    """The ADAPTIVE inner-resampling route (round 5: the whole resample
+    stage under one lax.cond, carried weights into the kernel epilogue)
+    composed with θ-sharding: the shard_map gather inside the cond's fire
+    branch and the carry_logw plane sharded over θ must reproduce the
+    unsharded adaptive route (same allclose discipline as the
+    always-resample sharded test above)."""
+    prior, y = ucsv_setup
+
+    def cfg(mesh=None):
+        inner = smc.PFConfig("systematic", 0.5, "on", mesh)
+        return smc.SMCConfig(
+            n_particles=256, n_theta=32, chain=2, ess_threshold=0.5,
+            inner=inner,
+        )
+
+    base = smc.SMC2(smc.ucsv_model, prior, cfg())
+    ref = base.init(jax.random.key(0), y)
+    for _ in range(3):
+        ref, _ = base.step(ref, y)
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    sh = ShardedSMC2(smc.SMC2(smc.ucsv_model, prior, cfg()), mesh)
+    state = sh.init(jax.random.key(0), y)
+    for _ in range(3):
+        state, _ = sh.step(state, y)
+
+    np.testing.assert_allclose(
+        np.asarray(state.particles), np.asarray(ref.particles),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.log_w), np.asarray(ref.log_w), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.log_omega), np.asarray(ref.log_omega),
+        rtol=1e-4, atol=1e-4,
+    )
