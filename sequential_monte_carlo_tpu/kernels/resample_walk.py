@@ -300,7 +300,7 @@ def _count_kernel(ks_ref, ke_ref, slo_ref, shi_ref, xs_ref, out_ref, *,
                                              "xor_mask", "n_sub",
                                              "formulation", "span_dtype"))
 def resample_gather_walk(u, weights, xs, tm: int | None = None,
-                         ot: int = 128, cw: int = 128,
+                         ot: int | None = None, cw: int | None = None,
                          interpret: bool = False, u0=None,
                          xor_mask: bool = False, n_sub: int = 1,
                          formulation: str = "count",
@@ -316,8 +316,10 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
       tm:      θ-rows per grid step (VMEM-bound; default by N).
       ot:      output-tile width (lane multiple; also the dynamic output
                write offset stride, so must be a 128-multiple).
+               None = autotuned: 128 at reference sizes, 256 on the
+               count route at N ≥ 16384 (measured, PERF_NOTES r5).
       cw:      CDF chunk width (128-multiple — chunk slices must sit at
-               128-multiple lane offsets).
+               128-multiple lane offsets). None = autotuned with ``ot``.
       n_sub:   subgroups per TM-row group walking their OWN chunk bounds
                (must divide tm). 1 = production (group-union bounds);
                >1 is the measured-slower round-4 ablation, kept reachable
@@ -345,6 +347,14 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     m, n = weights.shape
     sys_u = u0 is not None
     count_route = sys_u and formulation == "count"
+    if ot is None or cw is None:
+        # tile/chunk width autotune: 128 at the reference sizes (the r3
+        # sweep's mask-volume minimum); at N ≥ 16384 the count route
+        # measured 256² faster (12.41 vs 14.79 ms at 512×16384, r5 —
+        # fewer per-visit fixed costs once rows span many chunks)
+        wide = 256 if (count_route and n >= 16384) else 128
+        ot = wide if ot is None else ot
+        cw = wide if cw is None else cw
     if tm is None:
         tm = _autotune_tm(xs.shape[1], n, has_u=not count_route)
     while m % tm:
