@@ -1,11 +1,15 @@
 """Pallas TPU kernel: monotone chunk-walk fused resample + gather.
 
-Fourth-generation resample kernel (after ``resample_pallas.resample_gather``
-/ ``resample_gather_bytes`` — dense N² selection — ``resample_banded`` —
-windowed, with fallback — and the lane-transposed third-gen walk).
-Replaces all of them at every size. Reference semantics: the
-ancestor-gather of particles.jl:117-119 for sorted uniforms, bitwise-equal
-to searchsorted(side="left") + take.
+Sixth-generation resample kernel — the gen-4 band-mask walk (after
+``resample_pallas.resample_gather`` / ``resample_gather_bytes`` — dense
+N² selection — ``resample_banded`` — windowed, with fallback — and the
+lane-transposed third-gen walk) plus the round-5 gen-6 COUNT formulation
+that replaces it on the systematic (u0) route; gen 5, a lane-gather
+variant, lost and lives in ``benchmarks/ablations/``. Replaces every
+predecessor at every size. Reference semantics: the ancestor-gather of
+particles.jl:117-119 for sorted uniforms — explicit-u routes bitwise ≡
+searchsorted(side="left") + take; the count route bitwise ≡ its
+closed-form :func:`count_ancestors` oracle.
 
 Kernel evolution (measured at M=512, N=8192, v5e; PERF_NOTES.md):
 dense-bytes ≈ 58 ms (VPU-bound N² mask build) → banded ≈ 56 ms (per-step

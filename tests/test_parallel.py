@@ -360,3 +360,45 @@ def test_sharded_adaptive_cond_matches_unsharded(ucsv_setup):
         np.asarray(state.log_omega), np.asarray(ref.log_omega),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_sharded_adaptive_prep_carry_combo():
+    """The θ-sharded fused route with BOTH optional shard_map operands at
+    once — the hoisted eigh prep (dx=2 Hodrick–Prescott, singular Q) and
+    the adaptive carry_logw plane — matches the unsharded call (the
+    in_specs threading appends them in a fixed order; this pins it)."""
+    from sequential_monte_carlo_tpu.ops.batched_filter import (
+        batched_pf_step,
+    )
+
+    M, N = 16, 128
+    hp = smc.hodrick_prescott(1600.0, jnp.asarray([0.1, 0.2, 0.15]))
+    models = jax.tree.map(lambda l: jnp.broadcast_to(l, (M,) + l.shape), hp)
+    prep = models.fused_prep()
+    x = jax.random.normal(jax.random.key(0), (M, N, 2))
+    lw = jax.nn.log_softmax(
+        8.0 * jax.random.normal(jax.random.key(1), (M, N)), axis=-1
+    )  # concentrated: the adaptive trigger fires → carry + gather run
+    y1 = jnp.asarray(0.4)
+
+    cfg_plain = smc.PFConfig("systematic", 0.5, "on")
+    ref = batched_pf_step(
+        jax.random.key(2), models, x, lw, y1, cfg_plain, fused_prep=prep
+    )
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    cfg_mesh = smc.PFConfig("systematic", 0.5, "on", mesh)
+    out = batched_pf_step(
+        jax.random.key(2), models, x, lw, y1, cfg_mesh, fused_prep=prep
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.particles), np.asarray(ref.particles),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.log_weights), np.asarray(ref.log_weights),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.log_mean), np.asarray(ref.log_mean),
+        rtol=1e-4, atol=1e-4,
+    )
