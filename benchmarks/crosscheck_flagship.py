@@ -127,6 +127,11 @@ def main():
     args = p.parse_args()
     if args.quick:
         args.m, args.n, args.chain = 64, 256, 2
+        if args.tol is None and not os.path.exists(CALIBRATION):
+            # pre-calibration guard: without the measured seed spread the
+            # flat 0.5·sd fallback would flag pure noise at M=64 (the
+            # calibrated σ_Δ here is up to ~0.94·sd)
+            args.tol = 1.25
 
     import csv
 

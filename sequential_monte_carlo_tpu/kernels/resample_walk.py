@@ -220,6 +220,18 @@ def _kernel(ks_ref, ke_ref, ut_ref, cdf_ref, cdfp_ref, xs_ref, out_ref,
     jax.lax.fori_loop(0, n_tiles, tile_body, 0)
 
 
+def _autotune_width(n: int, count_route: bool) -> int:
+    """Default ot/cw: 128 at the reference sizes (the r3 sweep's
+    mask-volume minimum); at N ≥ 16384 the count route measured 256²
+    faster (12.41 vs 14.79 ms at 512×16384, r5 — fewer per-visit fixed
+    costs once rows span many chunks). Widen ONLY when 256 divides N —
+    otherwise a 128-divisible N would fall through to the dense fallback
+    kernel, an order-of-magnitude silent regression (r5 review)."""
+    if count_route and n >= 16384 and n % 256 == 0:
+        return 256
+    return 128
+
+
 def count_ancestors(u0, weights):
     """XLA oracle for the count formulation: systematic ancestors by
     closed-form offspring counts.
@@ -352,17 +364,20 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     sys_u = u0 is not None
     count_route = sys_u and formulation == "count"
     if ot is None or cw is None:
-        # tile/chunk width autotune: 128 at the reference sizes (the r3
-        # sweep's mask-volume minimum); at N ≥ 16384 the count route
-        # measured 256² faster (12.41 vs 14.79 ms at 512×16384, r5 —
-        # fewer per-visit fixed costs once rows span many chunks)
-        wide = 256 if (count_route and n >= 16384) else 128
+        wide = _autotune_width(n, count_route)
         ot = wide if ot is None else ot
         cw = wide if cw is None else cw
     if tm is None:
         tm = _autotune_tm(xs.shape[1], n, has_u=not count_route)
     while m % tm:
         tm -= 1
+    if tm % n_sub:
+        raise ValueError(f"n_sub {n_sub} must divide tm {tm}")
+    if count_route and n_sub != 1:
+        raise ValueError(
+            "n_sub subgroups are a band-formulation ablation; the count "
+            "route walks union bounds only (pass formulation='band')"
+        )
     if n % ot or n % cw or m % tm or n < 2 * cw:
         if u is None:
             i = jnp.arange(n, dtype=weights.dtype)[None, :]
@@ -477,9 +492,7 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     # (fori_loop setup, 2× output writes, matmul issue latency) double
     # while the mask volume stays equal, eating the narrower-span win.
     # The ablation stays reachable through the ``n_sub`` argument
-    # (test-only; must divide tm) — ADVICE r4.
-    if tm % n_sub:
-        raise ValueError(f"n_sub {n_sub} must divide tm {tm}")
+    # (test-only; must divide tm — validated at entry) — ADVICE r4.
     sb = tm // n_sub
     gks = k_start.reshape(n_groups * n_sub, sb, n_tiles).min(axis=1)
     gke = (k_last.reshape(n_groups * n_sub, sb, n_tiles).max(axis=1) + 1)

@@ -317,11 +317,22 @@ def batched_pf_step(key, models, particles, log_w, y,
     runs (it is proposal-independent).
     ``config.algorithm == "apf"``: auxiliary-PF lookahead step
     (:func:`_batched_apf_step`); requires the fixed-N mode."""
+    if config.algorithm not in ("bootstrap", "apf"):
+        raise ValueError(
+            f"unknown algorithm {config.algorithm!r}; one of "
+            "['bootstrap', 'apf']"
+        )
     if config.algorithm == "apf":
         if active_n is not None:
             raise ValueError(
                 "algorithm='apf' is not defined for the elastic padded-N "
                 "mode (use elastic_pad='grow' samplers or bootstrap)"
+            )
+        if config.proposal is not None:
+            raise ValueError(
+                "algorithm='apf' propagates from the transition (the "
+                "lookahead replaces the proposal role); proposal= "
+                "composes with the bootstrap algorithm only"
             )
         return _batched_apf_step(key, models, particles, log_w, y, config,
                                  fused_prep)

@@ -599,7 +599,14 @@ class SMC2:
             elif adv <= 0 and t_done < target:
                 # defensive: a live step always advances t
                 raise RuntimeError("segmented run made no progress")
-        if not chunks:  # resume at/after the bound: nothing executed
-            return state, None
+        if not chunks:
+            # resume at/after the bound: nothing to execute. Keep the
+            # (state, infos) pytree CONTRACT by dispatching one fully-dead
+            # segment (every step takes the no-op branch — state returns
+            # bitwise unchanged) and trimming it to zero length, so
+            # callers that tree-concatenate infos across resume calls
+            # don't hit a structure mismatch (round-5 review finding).
+            _, out = seg_fn(state, y, t_stop)
+            return state, jax.tree.map(lambda x: x[:0], out)
         outs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *chunks)
         return state, outs

@@ -698,3 +698,62 @@ def test_batched_apf_rejects_elastic():
             jax.random.key(1), models, init.particles, init.log_weights,
             jnp.asarray(0.2), cfg, active_n=jnp.asarray(32),
         )
+
+
+def test_walk_width_autotune_guards_divisibility():
+    """The 256-wide count-route tiles (r5) apply only when 256 | N — a
+    128-divisible N must keep 128-wide tiles instead of silently falling
+    through to the dense fallback kernel (r5 review finding)."""
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        _autotune_width,
+    )
+
+    assert _autotune_width(8192, True) == 128
+    assert _autotune_width(16384, True) == 256  # measured winner
+    assert _autotune_width(16512, True) == 128  # 128 | N, 256 ∤ N
+    assert _autotune_width(16384, False) == 128  # band route unchanged
+    assert _autotune_width(32768, True) == 256
+
+
+def test_walk_invalid_args_raise():
+    """n_sub is validated at entry on every route (r5 review): the count
+    route rejects subgroups outright; non-dividing n_sub raises."""
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        resample_gather_walk,
+    )
+
+    M, N, C = 8, 2048, 3
+    w = jnp.full((M, N), 1.0 / N)
+    xs = jnp.zeros((M, C, N))
+    u0 = jnp.full((M, 1), 0.5)
+    with pytest.raises(ValueError, match="count"):
+        resample_gather_walk(None, w, xs, tm=8, u0=u0, n_sub=2)
+    u = (jnp.arange(N, dtype=jnp.float32)[None, :] + u0) / N
+    with pytest.raises(ValueError, match="divide"):
+        resample_gather_walk(u, w, xs, tm=8, n_sub=3)
+
+
+def test_batched_config_validation():
+    """Unknown algorithm strings and apf+proposal raise instead of
+    silently running bootstrap (r5 review findings)."""
+    from sequential_monte_carlo_tpu.ops import Proposal
+
+    thetas = jnp.stack([jnp.asarray([0.5, 0.9, 0.8])] * 4)
+    models = jax.vmap(smc.lg_model)(thetas)
+    init = batched_pf_init(jax.random.key(0), models, 64, 4, jnp.asarray(0.1))
+
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        batched_pf_step(
+            jax.random.key(1), models, init.particles, init.log_weights,
+            jnp.asarray(0.2), smc.PFConfig(algorithm="afp"),
+        )
+    prop = Proposal(
+        initial=lambda m: m.initial_distribution(),
+        step=lambda m, xp: m.transition_distribution(xp),
+    )
+    with pytest.raises(ValueError, match="bootstrap algorithm only"):
+        batched_pf_step(
+            jax.random.key(1), models, init.particles, init.log_weights,
+            jnp.asarray(0.2),
+            smc.PFConfig(algorithm="apf", proposal=prop),
+        )

@@ -174,3 +174,11 @@ def test_midrun_segmented_checkpoint_resume_bitwise(tmp_path):
             jax.tree_util.tree_leaves(full_infos),
         ):
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    # resuming a FINISHED run keeps the (state, infos) contract: infos is
+    # an empty (0-length) StepInfo pytree, not None, so accumulation
+    # loops that tree-concatenate across resumes don't crash (r5 review)
+    s3, i3 = sampler.run_segmented(None, y, segment_size=8, state=s2)
+    assert i3 is not None and int(i3.ess.shape[0]) == 0
+    jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), i2, i3)
+    assert_states_equal(s3, s2)
