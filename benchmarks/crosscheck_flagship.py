@@ -124,9 +124,18 @@ def main():
     p.add_argument("--calibrate", type=int, default=0, metavar="K",
                    help="run K seed-pairs, write the empirical σ_Δ "
                         "calibration file, and exit (VERDICT r4 #4)")
+    p.add_argument("--cal-out", default=CALIBRATION,
+                   help="calibration output path (point elsewhere for "
+                        "scaling-validation runs at other sizes, so the "
+                        "production calibration file is not overwritten)")
+    p.add_argument("--t-max", type=int, default=0,
+                   help="truncate the series to this many steps "
+                        "(0 = full; --quick implies 60)")
     args = p.parse_args()
     if args.quick:
         args.m, args.n, args.chain = 64, 256, 2
+        if args.t_max == 0:
+            args.t_max = 60
         if args.tol is None and not os.path.exists(CALIBRATION):
             # pre-calibration guard: without the measured seed spread the
             # flat 0.5·sd fallback would flag pure noise at M=64 (the
@@ -138,8 +147,8 @@ def main():
     with open(PCE) as f:
         rows = list(csv.DictReader(f))
     y = jnp.asarray([float(r["value"]) for r in rows], dtype=jnp.float32)
-    if args.quick:
-        y = y[:60]
+    if args.t_max:
+        y = y[: args.t_max]
 
     cfg = smc.SMCConfig(
         n_particles=args.n, n_theta=args.m, chain=args.chain,
@@ -171,7 +180,7 @@ def main():
             ],
             "wallclock_s": round(time.time() - t0, 1),
         }
-        with open(CALIBRATION, "w") as f:
+        with open(args.cal_out, "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps(out))
         return
