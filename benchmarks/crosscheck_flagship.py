@@ -94,10 +94,18 @@ def run_pair(y, cfg, prior, key_online, key_batch):
     return m_on, sd_on, t_online, m_bt, sd_bt, t_batch
 
 
-def tolerance_sd(args):
+def tolerance_sd(args, t_run):
     """Per-dimension tolerance in pooled-sd units: calibrated 3·σ_Δ scaled
     by √(M_cal/M) when a calibration file exists, else the flat legacy
-    default (or --tol override)."""
+    default (or --tol override). The M rescale is empirically validated
+    and larger inner N only shrinks σ_Δ (BASELINE.md). T and chain are
+    NOT rescaled — the production calibration is therefore run at the
+    FLAGSHIP's T and chain (T=241, chain=5; N=1024 conservative), after a
+    measured negative: a too-weak config (N=256, chain=2) at T=241 has
+    σ_Δ up to ~10·sd because the samplers themselves degenerate over the
+    long series — a calibration only transfers between configs of
+    comparable sampler adequacy (BASELINE.md round 5). Any remaining
+    size mismatch is annotated in the printed tol_source."""
     if args.tol is not None:
         return np.full(4, args.tol), "flat (--tol)"
     if os.path.exists(CALIBRATION):
@@ -105,10 +113,18 @@ def tolerance_sd(args):
             cal = json.load(f)
         scale = float(np.sqrt(cal["m"] / args.m))
         tol = 3.0 * np.asarray(cal["sigma_delta_sd"]) * scale
-        return tol, (
+        src = (
             f"3·σ_Δ(seed, {cal['seeds']} pairs at M={cal['m']}) · "
             f"√({cal['m']}/{args.m})"
         )
+        mism = []
+        if cal.get("n") != args.n:
+            mism.append(f"N {cal.get('n')}→{args.n}")
+        if cal.get("t") is not None and cal["t"] != t_run:
+            mism.append(f"T {cal['t']}→{t_run}")
+        if mism:
+            src += f" [not rescaled for: {', '.join(mism)}]"
+        return tol, src
     return np.full(4, 0.5), "legacy default (no calibration file)"
 
 
@@ -173,6 +189,7 @@ def main():
         sigma = np.std(np.asarray(deltas), axis=0, ddof=1)
         out = {
             "m": args.m, "n": args.n, "chain": args.chain,
+            "t": int(y.shape[0]),
             "seeds": args.calibrate,
             "sigma_delta_sd": [round(float(v), 4) for v in sigma],
             "mean_delta_sd": [
@@ -190,7 +207,7 @@ def main():
     )
     sd_pool = np.sqrt(0.5 * (sd_on**2 + sd_bt**2))
     delta = np.abs(m_on - m_bt) / sd_pool
-    tol, tol_src = tolerance_sd(args)
+    tol, tol_src = tolerance_sd(args, int(y.shape[0]))
     ok = bool((delta <= tol).all())
     print(json.dumps({
         "metric": f"ucsv_flagship_crosscheck_{args.m}x{args.n}",

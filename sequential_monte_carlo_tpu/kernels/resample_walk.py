@@ -344,7 +344,13 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
                route (round 5, default): int32 offspring-span streams
                S = ⌈N·cdf − u0⌉ compared against a constant output iota —
                no uniforms are materialized at all. Bitwise oracle:
-               :func:`count_ancestors` + take.
+               :func:`count_ancestors` + take. CAVEAT: non-divisible
+               shapes (n % ot, n % cw, n < 2·cw) fall back to the dense
+               kernel, which materializes the grid and uses the
+               searchsorted-left tie semantics — the two differ only at
+               f32 rounding ties (< 1e-3 of slots), but reproducibility
+               checks against ``count_ancestors`` hold for divisible
+               shapes only.
       formulation: u0-route selector. "count" (production) or "band" —
                the gen-4 band-mask route, which builds the grid
                u_i = (i + u0)/N host-side in the kernel's transposed
@@ -361,8 +367,17 @@ def resample_gather_walk(u, weights, xs, tm: int | None = None,
     systematic draws, differing on < 1e-3 of slots at f32 rounding ties).
     """
     m, n = weights.shape
+    if formulation not in ("count", "band"):
+        raise ValueError(
+            f"unknown formulation {formulation!r}; one of ['count', 'band']"
+        )
     sys_u = u0 is not None
     count_route = sys_u and formulation == "count"
+    if count_route and xor_mask:
+        raise ValueError(
+            "xor_mask is a band-formulation ablation; pass "
+            "formulation='band' to exercise it on the u0 route"
+        )
     if ot is None or cw is None:
         wide = _autotune_width(n, count_route)
         ot = wide if ot is None else ot

@@ -334,6 +334,13 @@ def batched_pf_step(key, models, particles, log_w, y,
                 "lookahead replaces the proposal role); proposal= "
                 "composes with the bootstrap algorithm only"
             )
+        if config.ess_threshold < 1.0:
+            raise ValueError(
+                "algorithm='apf' resamples by construction every step "
+                "(the first-stage lookahead IS the resample); "
+                "ess_threshold < 1 composes with the bootstrap "
+                "algorithm only"
+            )
         return _batched_apf_step(key, models, particles, log_w, y, config,
                                  fused_prep)
     m, n, dx = particles.shape
@@ -462,7 +469,8 @@ def batched_pf_step(key, models, particles, log_w, y,
                     # the carry is normalized (logsumexp(lw) == 0), so the
                     # epilogue's lse of lw + incr IS the evidence increment
                     return BatchedPFOut(x_new, log_norm, row_lse, ess)
-                log_n = jnp.log(jnp.asarray(float(n), dtype=log_w.dtype))
+                # log_n from the resample scope (fused_norm ⇒ active_n is
+                # None ⇒ it is the constant log N)
                 return BatchedPFOut(x_new, log_norm, row_lse - log_n, ess)
             x_new, incr = outs
     else:

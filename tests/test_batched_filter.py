@@ -757,3 +757,35 @@ def test_batched_config_validation():
             jnp.asarray(0.2),
             smc.PFConfig(algorithm="apf", proposal=prop),
         )
+
+
+def test_walk_formulation_and_xor_validation():
+    """formulation strings are validated; xor_mask (a band ablation) is
+    rejected on the count route instead of silently ignored (r5 review,
+    second pass)."""
+    from sequential_monte_carlo_tpu.kernels.resample_walk import (
+        resample_gather_walk,
+    )
+
+    M, N, C = 8, 2048, 3
+    w = jnp.full((M, N), 1.0 / N)
+    xs = jnp.zeros((M, C, N))
+    u0 = jnp.full((M, 1), 0.5)
+    with pytest.raises(ValueError, match="formulation"):
+        resample_gather_walk(None, w, xs, tm=8, u0=u0, formulation="Count")
+    with pytest.raises(ValueError, match="band"):
+        resample_gather_walk(None, w, xs, tm=8, u0=u0, xor_mask=True)
+
+
+def test_batched_apf_rejects_adaptive():
+    """apf + ess_threshold < 1 raises (APF resamples by construction;
+    silently ignoring the trigger was the r5 second-pass finding)."""
+    thetas = jnp.stack([jnp.asarray([0.5, 0.9, 0.8])] * 4)
+    models = jax.vmap(smc.lg_model)(thetas)
+    init = batched_pf_init(jax.random.key(0), models, 64, 4, jnp.asarray(0.1))
+    with pytest.raises(ValueError, match="bootstrap"):
+        batched_pf_step(
+            jax.random.key(1), models, init.particles, init.log_weights,
+            jnp.asarray(0.2),
+            smc.PFConfig("systematic", 0.5, algorithm="apf"),
+        )
