@@ -22,4 +22,4 @@ from .models import *  # noqa: F401,F403
 from .ops import *  # noqa: F401,F403
 from .samplers import *  # noqa: F401,F403
 
-__version__ = "0.1.0"
+__version__ = "0.6.0"
