@@ -100,6 +100,28 @@ def test_particle_gibbs_posterior_matches_oracle(pg_setup):
     assert np.all(np.abs(got - oracle) < 0.3), (got, oracle)
 
 
+def test_particle_gibbs_on_nonlinear_ucsv():
+    """PG composes with the nonlinear 3-dim UC-SV model (TupleProduct
+    transition) — the model class CSMC exists for, where no Kalman
+    conditional is available."""
+    m_true = smc.ucsv_model(jnp.array([0.2, 3.0, 0.5, 0.5]))
+    _, y = smc.simulate(jax.random.key(1), m_true, 50)
+    prior = smc.product_distribution(
+        [
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(1.0)),
+            smc.Normal(jnp.asarray(3.0), jnp.asarray(2.0)),
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(2.0)),
+            smc.Uniform(jnp.asarray(0.0), jnp.asarray(2.0)),
+        ]
+    )
+    cfg = smc.PGConfig(n_particles=64, sweeps=40, chain=2, method="as")
+    res = smc.particle_gibbs(jax.random.key(4), smc.ucsv_model, prior, y, cfg)
+    assert res.theta.shape == (40, 4)
+    assert np.isfinite(np.asarray(res.theta)).all()
+    assert np.isfinite(np.asarray(res.final_path)).all()
+    assert prior.in_support(res.theta[-1])
+
+
 def test_particle_gibbs_collect_paths_and_reproducible(pg_setup):
     prior, y, _ = pg_setup
     cfg = smc.PGConfig(n_particles=64, sweeps=8, collect_paths=True)
