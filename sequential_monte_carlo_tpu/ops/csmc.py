@@ -36,6 +36,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .resampling import multinomial
 from .smoothing import SmoothedCloud, sample_smoothed_paths
 from .weights import log_normalize
 
@@ -74,8 +75,11 @@ def csmc_forward(key, model, n: int, y, ref_path,
         x, lw, acc = carry
         k, yt, ref_t = inp
         k_res, k_as, k_prop = jax.random.split(k, 3)
-        # free slots: iid categorical = conditional multinomial (AD&H §4.3)
-        anc = jax.random.categorical(k_res, lw, shape=(n,)).astype(jnp.int32)
+        # free slots: iid categorical = conditional multinomial (AD&H §4.3).
+        # Inverse-CDF on iid uniforms (ops.resampling.multinomial) — same
+        # law as jax.random.categorical(shape=(n,)) but O(N log N) instead
+        # of that primitive's (N, N) Gumbel materialization.
+        anc = multinomial(k_res, jnp.exp(lw))
         if ancestor_sampling:
             log_as = lw + model.transition_distribution(x).log_prob(ref_t)
             a0 = jax.random.categorical(k_as, log_as).astype(jnp.int32)
