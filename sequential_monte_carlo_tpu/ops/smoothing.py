@@ -37,8 +37,8 @@ import jax.numpy as jnp
 from .kalman import KalmanState, kalman_init, kalman_step
 from .particle_filter import PFConfig, pf_init, pf_step
 
-__all__ = ["SmoothedCloud", "kalman_smooth", "posterior_smoothed_paths",
-           "sample_smoothed_paths",
+__all__ = ["SmoothedCloud", "forward_clouds", "kalman_smooth",
+           "posterior_smoothed_paths", "sample_smoothed_paths",
            "smoothed_marginals", "smoothed_mean"]
 
 
@@ -103,9 +103,12 @@ def _pairwise_transition_logpdf(model, x_t, x_next):
     )(x_t)
 
 
-def _forward_clouds(key, model, n, y, config: PFConfig = PFConfig()):
+def forward_clouds(key, model, n, y, config: PFConfig = PFConfig()):
     """Bootstrap-PF forward pass storing every cloud: returns
-    (particles (T, N, dx), filtered log-weights (T, N), logZ)."""
+    (particles (T, N, dx), filtered log-weights (T, N), logZ).
+
+    Public building block: the smoothers here and the particle-Gibbs
+    initial-path draw (samplers/particle_gibbs.py) both start from it."""
     k0, k_scan = jax.random.split(key)
     init = pf_init(k0, model, n, y[0])
 
@@ -206,7 +209,7 @@ def smoothed_marginals(key, model, n: int, y: jax.Array,
     VERDICT r3 #4). Pass an explicit divisor of N to force a width, or
     ``block_size=n`` to force the dense path.
     """
-    xs, lw, log_z = _forward_clouds(key, model, n, y, config)
+    xs, lw, log_z = forward_clouds(key, model, n, y, config)
 
     if block_size is None:
         block_size = n if n <= 2048 else 1024
@@ -307,7 +310,7 @@ def posterior_smoothed_paths(key, model_fn, theta, log_omega, y, n: int,
         k, th_i = args
         k_f, k_b = jax.random.split(k)
         model = model_fn(th_i)
-        xs, lw, log_z = _forward_clouds(k_f, model, n, y, config)
+        xs, lw, log_z = forward_clouds(k_f, model, n, y, config)
         cloud = SmoothedCloud(xs, lw, lw, log_z)
         return sample_smoothed_paths(k_b, cloud, model, n_paths)
 

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.csmc import csmc_sweep
-from ..ops.smoothing import SmoothedCloud, _forward_clouds, \
+from ..ops.smoothing import SmoothedCloud, forward_clouds, \
     sample_smoothed_paths
 from ..ops.particle_filter import PFConfig
 
@@ -95,6 +95,12 @@ def particle_gibbs(key, model_fn, prior, y,
     ``result.theta`` before summarizing (PG is MCMC, not SMC — draws are
     correlated and the chain starts at ``theta0``).
     """
+    if config.chain < 1:
+        raise ValueError(
+            f"config.chain must be >= 1 (got {config.chain}); for pure "
+            "CSMC state sampling at fixed theta, iterate ops.csmc_sweep "
+            "directly"
+        )
     n, sweeps = config.n_particles, config.sweeps
     k_init, k_path0, k_run = jax.random.split(key, 3)
 
@@ -112,7 +118,7 @@ def particle_gibbs(key, model_fn, prior, y,
     # proper over-dispersed start for the Gibbs chain)
     k_f, k_b = jax.random.split(k_path0)
     model0 = model_fn(theta0)
-    xs, lw, _ = _forward_clouds(k_f, model0, n, y, PFConfig("multinomial"))
+    xs, lw, _ = forward_clouds(k_f, model0, n, y, PFConfig("multinomial"))
     cloud0 = SmoothedCloud(xs, lw, lw, jnp.float32(0.0))
     path0 = sample_smoothed_paths(k_b, cloud0, model0, 1)[:, 0, :]
 

@@ -122,6 +122,15 @@ def test_particle_gibbs_on_nonlinear_ucsv():
     assert prior.in_support(res.theta[-1])
 
 
+def test_particle_gibbs_rejects_zero_chain(pg_setup):
+    prior, y, _ = pg_setup
+    with pytest.raises(ValueError, match="chain"):
+        smc.particle_gibbs(
+            jax.random.key(0), smc.lg_model, prior, y,
+            smc.PGConfig(n_particles=16, sweeps=2, chain=0),
+        )
+
+
 def test_particle_gibbs_collect_paths_and_reproducible(pg_setup):
     prior, y, _ = pg_setup
     cfg = smc.PGConfig(n_particles=64, sweeps=8, collect_paths=True)
